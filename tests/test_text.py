@@ -1,0 +1,122 @@
+"""Tests for the L0 text frontend (symbols, cleaners, numbers, G2P)."""
+
+import pytest
+
+from unast_tpu.text import (
+    symbols, SYMBOL_TO_ID, PAD_IDX, SOS_IDX, EOS_IDX, VOCAB_SIZE,
+    normalize_numbers, number_to_words, english_cleaners,
+    raw_text_to_phoneme_ids, text_to_sequence, sequence_to_text, convert,
+)
+
+
+class TestSymbols:
+    def test_vocab_size_is_46(self):
+        assert VOCAB_SIZE == 46
+
+    def test_special_ids(self):
+        assert PAD_IDX == 0 and SOS_IDX == 1 and EOS_IDX == 2
+        assert symbols[0] == "_" and symbols[1] == "-" and symbols[2] == "~"
+        assert symbols[3] == " " and symbols[4] == "*"
+
+    def test_unique(self):
+        assert len(set(symbols)) == len(symbols)
+
+    def test_passthrough_letters_present(self):
+        for ch in "cqxy":
+            assert ch in SYMBOL_TO_ID
+
+
+class TestNumbers:
+    @pytest.mark.parametrize("n,words", [
+        (0, "zero"), (7, "seven"), (13, "thirteen"), (20, "twenty"),
+        (21, "twenty-one"), (45, "forty-five"), (100, "one hundred"),
+        (101, "one hundred one"), (999, "nine hundred ninety-nine"),
+        (1000, "one thousand"),
+        (1234567, "one million, two hundred thirty-four thousand, five hundred sixty-seven"),
+    ])
+    def test_cardinals(self, n, words):
+        assert number_to_words(n) == words
+
+    @pytest.mark.parametrize("text,out", [
+        ("1st", "first"), ("2nd", "second"), ("3rd", "third"),
+        ("4th", "fourth"), ("5th", "fifth"), ("12th", "twelfth"),
+        ("20th", "twentieth"), ("21st", "twenty-first"),
+        ("100th", "one hundredth"),
+    ])
+    def test_ordinals(self, text, out):
+        assert normalize_numbers(text) == out
+
+    def test_years(self):
+        assert normalize_numbers("1920") == "nineteen twenty"
+        assert normalize_numbers("1905") == "nineteen oh five"
+        assert normalize_numbers("2000") == "two thousand"
+        assert normalize_numbers("2008") == "two thousand eight"
+        assert normalize_numbers("1800") == "eighteen hundred"
+
+    def test_currency(self):
+        assert normalize_numbers("$1.50") == "one dollar, fifty cents"
+        assert normalize_numbers("$2") == "two dollars"
+        assert normalize_numbers("$0.01") == "zero point zero one" or \
+            "cent" in normalize_numbers("$.01")
+        assert normalize_numbers("£100") == "one hundred pounds"
+
+    def test_decimal(self):
+        assert normalize_numbers("3.14") == "three point fourteen"
+
+    def test_commas_removed(self):
+        assert normalize_numbers("12,345") == \
+            "twelve thousand, three hundred forty-five"
+
+
+class TestCleaners:
+    def test_english_pipeline(self):
+        assert english_cleaners("Dr. Smith paid $5 in 1920.") == \
+            "doctor smith paid five dollars in nineteen twenty."
+
+    def test_ascii_fold(self):
+        assert english_cleaners("café naïve Zürich") == "cafe naive zurich"
+
+    def test_whitespace_collapse(self):
+        assert english_cleaners("a   b\t\nc") == "a b c"
+
+    def test_abbreviations(self):
+        out = english_cleaners("Mr. and Mrs. Jones met Lt. Col. Brown.")
+        assert "mister" in out and "misess" in out
+        assert "lieutenant" in out and "colonel" in out
+
+
+class TestPhonemizer:
+    def test_ids_in_vocab_and_eos(self):
+        seq = raw_text_to_phoneme_ids("Printing, in the only sense.")
+        assert seq[-1] == EOS_IDX
+        assert all(0 <= i < VOCAB_SIZE for i in seq)
+        assert PAD_IDX not in seq
+        assert EOS_IDX not in seq[:-1]
+
+    def test_lexicon_words(self):
+        assert convert("the") == "ðə"
+        assert convert("hello world") == "hɛˈloʊ wərld"
+
+    def test_rule_fallback_stays_in_inventory(self):
+        seq = raw_text_to_phoneme_ids("zyzzyva qwertish blorp")
+        assert all(0 <= i < VOCAB_SIZE for i in seq)
+
+    def test_strict_oov_marks_failures(self):
+        seq = raw_text_to_phoneme_ids("flumph", strict_oov=True)
+        assert SYMBOL_TO_ID["*"] in seq
+
+    def test_round_trip(self):
+        seq = raw_text_to_phoneme_ids("the dog")
+        text = sequence_to_text(seq)
+        assert text == "ðə dɔg~"
+
+    def test_arpabet_braces(self):
+        seq = text_to_sequence("{HH AH0 L OW1} there", ["english_cleaners"])
+        # HH AH L OW -> h ə l ˈoʊ
+        expected_prefix = [SYMBOL_TO_ID[c] for c in "həlˈoʊ"]
+        assert seq[: len(expected_prefix)] == expected_prefix
+        assert seq[-1] == EOS_IDX
+
+    def test_deterministic(self):
+        t = "The quick brown fox jumps over 12 lazy dogs."
+        assert raw_text_to_phoneme_ids(t) == raw_text_to_phoneme_ids(t)
