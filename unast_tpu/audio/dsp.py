@@ -1,0 +1,209 @@
+"""TPU-native audio DSP: STFT / mel / Griffin-Lim as jit-compiled JAX.
+
+Design notes (TPU-first, not a port):
+  - Framing and overlap-add avoid gather/scatter entirely: with
+    Q = ceil(n_fft / hop), a frame decomposes into Q hop-sized rows of the
+    reshaped signal, so framing is Q shifted slices and overlap-add is Q
+    shifted adds — pure, fusable XLA ops with static shapes.
+  - rFFT uses XLA's native FFT on TPU.
+  - The mel projection is a single MXU matmul.
+  - De-preemphasis (a first-order IIR the reference runs with
+    scipy.signal.lfilter, src/utils.py:301) runs as an O(log n)
+    jax.lax.associative_scan on device.
+  - Griffin-Lim (reference src/utils.py:309-320: 60 python-loop librosa
+    round trips on CPU) is a lax.fori_loop of ISTFT<->STFT entirely on
+    device with static [T, F] shapes.
+
+Parity targets: get_spectrograms (src/utils.py:235-278), spectrogram2wav
+(src/utils.py:281-306), griffin_lim (src/utils.py:309-328).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import mel_filterbank, hann_window
+from .params import AudioParams, DEFAULT
+from . import ref_dsp
+
+
+def _q_factor(n_fft: int, hop: int) -> int:
+    return -(-n_fft // hop)  # ceil
+
+
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """[n] (already center-padded) -> [T, n_fft] frames without gather.
+
+    T = 1 + (n - n_fft) // hop.
+    """
+    n = y.shape[0]
+    n_frames = 1 + (n - n_fft) // hop
+    q = _q_factor(n_fft, hop)
+    # Pad so every shifted slice of the [S, hop] view is in range.
+    total = (n_frames + q) * hop
+    y = jnp.pad(y, (0, max(0, total - n)))
+    rows = y[: (n_frames + q) * hop].reshape(n_frames + q, hop)
+    # frames[t] = concat(rows[t], rows[t+1], ..., rows[t+q-1])[:n_fft]
+    parts = [rows[t0 : t0 + n_frames] for t0 in range(q)]
+    frames = jnp.concatenate(parts, axis=1)  # [T, q*hop]
+    return frames[:, :n_fft]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
+    """[T, n_fft] -> [out_len] overlap-add without scatter.
+
+    Decomposes column index k = q*hop + r, so out[(t+q)*hop + r] += x[t, q, r]:
+    Q shifted adds over the frame axis.
+    """
+    n_frames, n_fft = frames.shape
+    q = _q_factor(n_fft, hop)
+    frames = jnp.pad(frames, ((0, 0), (0, q * hop - n_fft)))
+    blocks = frames.reshape(n_frames, q, hop)
+    acc = jnp.zeros((n_frames + q, hop), dtype=frames.dtype)
+    for qi in range(q):
+        acc = acc.at[qi : qi + n_frames].add(blocks[:, qi, :])
+    flat = acc.reshape(-1)[: n_fft + hop * (n_frames - 1)]
+    return flat[:out_len] if out_len <= flat.shape[0] else jnp.pad(
+        flat, (0, out_len - flat.shape[0])
+    )
+
+
+def preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
+    return jnp.concatenate([y[:1], y[1:] - coef * y[:-1]])
+
+
+def deemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """IIR out[t] = y[t] + coef*out[t-1] via associative scan (O(log n))."""
+    a = jnp.full_like(y, coef)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, out = jax.lax.associative_scan(combine, (a, y))
+    return out
+
+
+def stft(y: jnp.ndarray, p: AudioParams = DEFAULT,
+         window: jnp.ndarray = None) -> jnp.ndarray:
+    """[n] -> [T, n_freqs] complex64; center=True, reflect padding."""
+    if window is None:
+        window = jnp.asarray(hann_window(p.win_length, p.n_fft))
+    y = jnp.pad(y, p.n_fft // 2, mode="reflect")
+    frames = frame_signal(y, p.n_fft, p.hop_length) * window[None, :]
+    return jnp.fft.rfft(frames, n=p.n_fft, axis=1)
+
+
+def istft(spec: jnp.ndarray, p: AudioParams = DEFAULT,
+          window: jnp.ndarray = None) -> jnp.ndarray:
+    """[T, n_freqs] complex -> [hop*(T-1)] real; window-sum-square normalized,
+    center-cropped (librosa istft semantics)."""
+    if window is None:
+        window = jnp.asarray(hann_window(p.win_length, p.n_fft))
+    n_fft, hop = p.n_fft, p.hop_length
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=1) * window[None, :]
+    n_frames = frames.shape[0]
+    full_len = n_fft + hop * (n_frames - 1)
+    out = overlap_add(frames, hop, full_len)
+    w2 = jnp.broadcast_to((window ** 2)[None, :], (n_frames, n_fft))
+    wss = overlap_add(w2, hop, full_len)
+    out = out / jnp.maximum(wss, 1e-10)
+    return out[n_fft // 2 : full_len - n_fft // 2]
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _wav_to_mel_mag_core(y_padded: jnp.ndarray, p: AudioParams):
+    """Jitted fixed-shape core on an already preemphasized + center-padded
+    signal: framing -> windowed rFFT -> mel projection -> dB-normalize."""
+    window = jnp.asarray(hann_window(p.win_length, p.n_fft))
+    frames = frame_signal(y_padded, p.n_fft, p.hop_length) * window[None, :]
+    linear = jnp.fft.rfft(frames, n=p.n_fft, axis=1)  # [T, n_freqs]
+    mag = jnp.abs(linear)
+    mel_w = jnp.asarray(mel_filterbank(p.sr, p.n_fft, p.num_mels).T)
+    mel = jnp.dot(mag, mel_w, precision=jax.lax.Precision.HIGHEST)
+    mel = 20.0 * jnp.log10(jnp.maximum(1e-5, mel))
+    mag_db = 20.0 * jnp.log10(jnp.maximum(1e-5, mag))
+    mel = jnp.clip((mel - p.ref_db + p.max_db) / p.max_db, 1e-8, 1.0)
+    mag_db = jnp.clip((mag_db - p.ref_db + p.max_db) / p.max_db, 1e-8, 1.0)
+    return mel, mag_db
+
+
+# Bucketed input lengths (seconds) so XLA compiles a handful of programs.
+_LENGTH_BUCKETS_S = (1, 2, 4, 6, 8, 11)
+
+
+def wav_to_mel_mag(y: np.ndarray, p: AudioParams = DEFAULT, trim: bool = True):
+    """wav -> (mel [T, n_mels], mag [T, n_freqs], n_frames).
+
+    Host wrapper: variable-length trim runs on host (data-dependent length),
+    the rest runs jitted on device with bucketed padding. Returns arrays
+    padded to the bucket's frame count plus the valid frame count.
+    Parity: reference get_spectrograms (src/utils.py:235-278).
+    """
+    if trim:
+        y, _ = ref_dsp.trim_silence(np.asarray(y, dtype=np.float32), p)
+    n = len(y)
+    n_frames_valid = 1 + n // p.hop_length if n > 0 else 0
+    bucket = next(
+        (int(b * p.sr) for b in _LENGTH_BUCKETS_S if n <= b * p.sr),
+        ((n + p.sr - 1) // p.sr) * p.sr if n > 0 else p.sr,
+    )
+    # Host side: O(n) preemphasis + reflect center padding on the TRUE
+    # signal end (bucketing after reflect keeps the last valid frames
+    # identical to the unbucketed result), then zero-pad to the bucket.
+    half = p.n_fft // 2
+    if n > 0:
+        y_pre = ref_dsp.preemphasis(y.astype(np.float32), p.preemphasis)
+        y_refl = np.pad(y_pre, half, mode="reflect")
+    else:
+        y_refl = np.zeros(2 * half, dtype=np.float32)
+    y_pad = np.zeros(bucket + 2 * half, dtype=np.float32)
+    y_pad[: len(y_refl)] = y_refl
+    mel, mag = _wav_to_mel_mag_core(jnp.asarray(y_pad), p)
+    return mel, mag, n_frames_valid
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def griffin_lim(spectrogram: jnp.ndarray, p: AudioParams = DEFAULT):
+    """[T, n_freqs] magnitude -> [hop*(T-1)] waveform, n_iter ISTFT<->STFT
+    rounds fully on device (parity: src/utils.py:309-320)."""
+    window = jnp.asarray(hann_window(p.win_length, p.n_fft))
+    n_frames = spectrogram.shape[0]
+
+    def body(_, x_best):
+        x_t = istft(x_best, p, window)
+        est = stft(x_t, p, window)[:n_frames]
+        phase = est / jnp.maximum(1e-8, jnp.abs(est))
+        return spectrogram.astype(jnp.complex64) * phase
+
+    x0 = spectrogram.astype(jnp.complex64)
+    x_best = jax.lax.fori_loop(0, p.n_iter, body, x0)
+    return istft(x_best, p, window)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _mag_to_wav_core(mag: jnp.ndarray, p: AudioParams):
+    mag = jnp.clip(mag, 0.0, 1.0) * p.max_db - p.max_db + p.ref_db
+    mag = jnp.power(10.0, mag * 0.05)
+    wav = griffin_lim(mag ** p.power, p)
+    return deemphasis(wav, p.preemphasis)
+
+
+def mag_to_wav(mag, p: AudioParams = DEFAULT, trim: bool = True) -> np.ndarray:
+    """Normalized magnitude (T, n_freqs) -> waveform on device, host trim.
+    Parity: reference spectrogram2wav (src/utils.py:281-306)."""
+    wav = np.asarray(_mag_to_wav_core(jnp.asarray(mag), p), dtype=np.float32)
+    if trim:
+        wav, _ = ref_dsp.trim_silence(wav, p)
+    return wav
+
+
+def mel_to_mag_pseudo_inverse(p: AudioParams = DEFAULT) -> np.ndarray:
+    """(n_mels, n_freqs) least-squares pseudo-inverse of the mel filterbank —
+    a direct mel->linear lift for Griffin-Lim without a trained vocoder
+    (capability add; the reference requires the CBHG vocoder or mag dumps)."""
+    w = mel_filterbank(p.sr, p.n_fft, p.num_mels)
+    return np.linalg.pinv(w).T.astype(np.float32)  # (n_mels, n_freqs)
