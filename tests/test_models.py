@@ -1,0 +1,343 @@
+"""Model-stack tests: golden parity against torch (weights copied into the
+functional param trees, eval mode) plus internal consistency of the
+KV-cached decode paths and the UNAST task surface."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn as tnn
+
+from unast_tpu import nn
+from unast_tpu.models import (
+    ModelConfig, TINY, modules as M, transformer as T, rnn as R,
+    networks as N, unast as U,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+# ---------------------------------------------------------------------------
+# Primitive parity
+# ---------------------------------------------------------------------------
+
+
+def test_batchnorm_matches_torch():
+    torch.manual_seed(0)
+    bn = tnn.BatchNorm1d(8)
+    x = torch.randn(4, 8, 12)  # [B, C, T]
+    bn.train()
+    y_train = bn(x)
+    p, s = nn.batchnorm_init(8)
+    xj = t2j(x.permute(0, 2, 1))  # [B, T, C]
+    yj, new_s = nn.batchnorm(p, s, xj, train=True)
+    np.testing.assert_allclose(np.asarray(yj),
+                               y_train.detach().numpy().transpose(0, 2, 1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]),
+                               bn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_s["var"]),
+                               bn.running_var.numpy(), atol=1e-4)
+    bn.eval()
+    y_eval = bn(x)
+    yj_eval, _ = nn.batchnorm(p, new_s, xj, train=False)
+    np.testing.assert_allclose(np.asarray(yj_eval),
+                               y_eval.detach().numpy().transpose(0, 2, 1),
+                               atol=1e-5)
+
+
+def test_causal_conv_matches_torch_pad_trim():
+    """Left-pad causal conv == reference pad-4-then-trim-right-4 scheme."""
+    torch.manual_seed(1)
+    conv = tnn.Conv1d(6, 10, kernel_size=5, padding=4)
+    x = torch.randn(2, 6, 20)
+    y_ref = conv(x)[:, :, :-4]
+    p = {"w": t2j(conv.weight.permute(2, 1, 0)), "b": t2j(conv.bias)}
+    yj = nn.conv1d(p, t2j(x.permute(0, 2, 1)), padding=(4, 0))
+    np.testing.assert_allclose(np.asarray(yj),
+                               y_ref.detach().numpy().transpose(0, 2, 1),
+                               atol=1e-5)
+
+
+def test_lstm_encoder_matches_torch_packed():
+    """Masked-scan encoder == torch LSTM over pack_padded_sequence,
+    bidirectional, 2 layers (reference RNNEncoder src/module.py:297-336)."""
+    torch.manual_seed(2)
+    B, Tm, D, H, L = 3, 11, 8, 6, 2
+    rnn = tnn.LSTM(D, H, num_layers=L, bidirectional=True, batch_first=True)
+    x = torch.randn(B, Tm, D)
+    lens = torch.tensor([11, 7, 4])
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        x, lens, batch_first=True, enforce_sorted=False)
+    out_p, (hn, cn) = rnn(packed)
+    out_ref, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        out_p, batch_first=True, total_length=Tm)
+
+    # Copy weights: torch per (layer, direction) l{li}{'_reverse' if bwd}
+    layers = []
+    for li in range(L):
+        layer = {}
+        for dirname, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            layer[dirname] = {
+                "wi": t2j(getattr(rnn, f"weight_ih_l{li}{suffix}").T),
+                "wh": t2j(getattr(rnn, f"weight_hh_l{li}{suffix}").T),
+                "bi": t2j(getattr(rnn, f"bias_ih_l{li}{suffix}")),
+                "bh": t2j(getattr(rnn, f"bias_hh_l{li}{suffix}")),
+            }
+        layers.append(layer)
+    p = {"layers": layers}
+    ctx = nn.Ctx.eval()
+    out_j, (h_j, c_j) = R.rnn_encoder(p, ctx, t2j(x), jnp.array([11, 7, 4]),
+                                      dropout_p=0.0)
+    # rnn_encoder (without reduce) returns concat [fwd, bwd] per layer.
+    np.testing.assert_allclose(np.asarray(out_j), out_ref.detach().numpy(),
+                               atol=1e-5)
+    # torch hn: [L*2, B, H] ordered (l0 fwd, l0 bwd, l1 fwd, l1 bwd)
+    hn = hn.view(L, 2, B, H)
+    h_ref = torch.cat([hn[:, 0], hn[:, 1]], dim=-1)  # [L, B, 2H]
+    np.testing.assert_allclose(np.asarray(h_j), h_ref.detach().numpy(),
+                               atol=1e-5)
+
+
+def _copy_mha(mha_t, d):
+    w = mha_t.in_proj_weight  # [3D, D]
+    b = mha_t.in_proj_bias
+    return {
+        "q": {"w": t2j(w[:d].T), "b": t2j(b[:d])},
+        "k": {"w": t2j(w[d:2 * d].T), "b": t2j(b[d:2 * d])},
+        "v": {"w": t2j(w[2 * d:].T), "b": t2j(b[2 * d:])},
+        "out": {"w": t2j(mha_t.out_proj.weight.T), "b": t2j(mha_t.out_proj.bias)},
+    }
+
+
+def _copy_encoder_layer(lt, d):
+    return {
+        "attn": _copy_mha(lt.self_attn, d),
+        "lin1": {"w": t2j(lt.linear1.weight.T), "b": t2j(lt.linear1.bias)},
+        "lin2": {"w": t2j(lt.linear2.weight.T), "b": t2j(lt.linear2.bias)},
+        "ln1": {"scale": t2j(lt.norm1.weight), "bias": t2j(lt.norm1.bias)},
+        "ln2": {"scale": t2j(lt.norm2.weight), "bias": t2j(lt.norm2.bias)},
+    }
+
+
+def _copy_decoder_layer(lt, d):
+    return {
+        "self": _copy_mha(lt.self_attn, d),
+        "cross": _copy_mha(lt.multihead_attn, d),
+        "lin1": {"w": t2j(lt.linear1.weight.T), "b": t2j(lt.linear1.bias)},
+        "lin2": {"w": t2j(lt.linear2.weight.T), "b": t2j(lt.linear2.bias)},
+        "ln1": {"scale": t2j(lt.norm1.weight), "bias": t2j(lt.norm1.bias)},
+        "ln2": {"scale": t2j(lt.norm2.weight), "bias": t2j(lt.norm2.bias)},
+        "ln3": {"scale": t2j(lt.norm3.weight), "bias": t2j(lt.norm3.bias)},
+    }
+
+
+def test_transformer_encoder_matches_torch():
+    torch.manual_seed(3)
+    d, nhead, ffn, L = 16, 4, 32, 2
+    enc_t = tnn.TransformerEncoder(
+        tnn.TransformerEncoderLayer(d, nhead, ffn, dropout=0.0), L)
+    enc_t.eval()
+    B, Tm = 3, 9
+    x = torch.randn(B, Tm, d)
+    lens = torch.tensor([9, 6, 3])
+    pad = torch.arange(Tm)[None, :] >= lens[:, None]
+    y_ref = enc_t(x.transpose(0, 1), None, pad).transpose(0, 1)
+
+    p = {"layers": [_copy_encoder_layer(enc_t.layers[i], d) for i in range(L)]}
+    y = T.encoder(p, nn.Ctx.eval(), t2j(x), t2j(pad).astype(bool),
+                  nhead, 0.0)
+    np.testing.assert_allclose(np.asarray(y)[~np.asarray(t2j(pad))],
+                               y_ref.detach().numpy()[~pad.numpy()],
+                               atol=1e-4)
+
+
+def test_transformer_decoder_matches_torch():
+    torch.manual_seed(4)
+    d, nhead, ffn, L = 16, 4, 32, 2
+    dec_t = tnn.TransformerDecoder(
+        tnn.TransformerDecoderLayer(d, nhead, ffn, dropout=0.0), L)
+    dec_t.eval()
+    B, Tt, Ts = 2, 7, 9
+    tgt = torch.randn(B, Tt, d)
+    mem = torch.randn(B, Ts, d)
+    t_lens = torch.tensor([7, 5])
+    s_lens = torch.tensor([9, 6])
+    tgt_pad = torch.arange(Tt)[None, :] >= t_lens[:, None]
+    mem_pad = torch.arange(Ts)[None, :] >= s_lens[:, None]
+    causal = torch.triu(torch.ones(Tt, Tt), 1).bool()
+    y_ref = dec_t(tgt.transpose(0, 1), mem.transpose(0, 1), causal, None,
+                  tgt_pad, mem_pad).transpose(0, 1)
+
+    p = {"layers": [_copy_decoder_layer(dec_t.layers[i], d) for i in range(L)]}
+    y = T.decoder(p, nn.Ctx.eval(), t2j(tgt), t2j(mem),
+                  t2j(tgt_pad).astype(bool), t2j(mem_pad).astype(bool),
+                  nhead, 0.0)
+    np.testing.assert_allclose(np.asarray(y)[~np.asarray(t2j(tgt_pad))],
+                               y_ref.detach().numpy()[~tgt_pad.numpy()],
+                               atol=1e-4)
+
+
+def test_kv_cache_step_equals_parallel():
+    """Incremental decoder_step over a forced input sequence must reproduce
+    the parallel teacher-forced decoder exactly (no padding)."""
+    d, nhead, ffn, L = 16, 4, 32, 2
+    key = jax.random.PRNGKey(5)
+    p = T.decoder_init(key, d, nhead, ffn, L)
+    B, Tt, Ts = 2, 6, 5
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (B, Tt, d))
+    mem = jax.random.normal(k2, (B, Ts, d))
+    no_pad_t = jnp.zeros((B, Tt), bool)
+    no_pad_s = jnp.zeros((B, Ts), bool)
+    ctx = nn.Ctx.eval()
+    y_par = T.decoder(p, ctx, x, mem, no_pad_t, no_pad_s, nhead, 0.0)
+
+    cache = T.init_cache(p, mem, Tt, nhead)
+    mem_bias = T.padding_bias(no_pad_s)
+    outs = []
+    for i in range(Tt):
+        y_i, cache = T.decoder_step(p, ctx, x[:, i:i + 1], i, cache,
+                                    mem_bias, nhead, 0.0)
+        outs.append(y_i)
+    y_inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(y_inc), np.asarray(y_par), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Decode loops: shapes + stop semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tr_model():
+    cfg = TINY
+    params, state = U.unast_init(KEY, cfg)
+    return cfg, params, state
+
+
+@pytest.fixture(scope="module")
+def rnn_model():
+    cfg = TINY.replace(model_type="rnn", d_attn="lsa", e_bi=True)
+    params, state = U.unast_init(jax.random.PRNGKey(1), cfg)
+    return cfg, params, state
+
+
+def _text_batch(cfg, b=2):
+    t = cfg.max_text_len
+    k = jax.random.PRNGKey(7)
+    ids = jax.random.randint(k, (b, t), 3, 46)
+    lens = jnp.array([t, t - 4])[:b]
+    # place EOS at len-1
+    ids = ids.at[jnp.arange(b), lens - 1].set(2)
+    pos = jnp.arange(t)[None, :]
+    ids = jnp.where(pos < lens[:, None], ids, 0)
+    return ids, lens
+
+
+def _mel_batch(cfg, b=2):
+    t = cfg.max_mel_len
+    mel = jax.random.uniform(jax.random.PRNGKey(8), (b, t, cfg.num_mels))
+    lens = jnp.array([t, t - 6])[:b]
+    mel = mel * M.lens_to_mask(lens, t)[..., None]
+    return mel, lens
+
+
+@pytest.mark.parametrize("model_fix", ["tr_model", "rnn_model"])
+def test_unast_tasks(model_fix, request):
+    cfg, params, state = request.getfixturevalue(model_fix)
+    ids, t_lens = _text_batch(cfg)
+    mel, m_lens = _mel_batch(cfg)
+    ctx = nn.Ctx(rng=jax.random.PRNGKey(9), train=True)
+
+    logits, st = U.text_ae(params, state, ctx, cfg, ids, t_lens)
+    assert logits.shape == (2, cfg.max_text_len, 46)
+
+    (pre, post, stop), st = U.speech_ae(params, state, ctx, cfg, mel, m_lens)
+    assert pre.shape == mel.shape and post.shape == mel.shape
+    assert stop.shape == (2, cfg.max_mel_len)
+
+    out, st = U.tts(params, state, ctx, cfg, ids, t_lens, mel, m_lens)
+    assert out[0].shape == mel.shape
+
+    logits, st = U.asr(params, state, ctx, cfg, ids, t_lens, mel, m_lens)
+    assert logits.shape == (2, cfg.max_text_len, 46)
+
+    # inference paths
+    ectx = nn.Ctx.eval()
+    (pre, post, stops, stop_lens), _ = U.tts(params, state, ectx, cfg,
+                                             ids, t_lens, mel, m_lens,
+                                             infer=True)
+    assert pre.shape == (2, cfg.max_mel_len, cfg.num_mels)
+    assert stop_lens.shape == (2,)
+    # frames past stop must be zero
+    mask = np.asarray(M.lens_to_mask(stop_lens, cfg.max_mel_len))
+    assert np.all(np.asarray(pre)[~mask] == 0)
+
+    (ids_out, stop_lens), _ = U.asr(params, state, ectx, cfg, ids, t_lens,
+                                    mel, m_lens, infer=True)
+    assert ids_out.shape == (2, cfg.max_text_len)
+    tmask = np.asarray(M.lens_to_mask(stop_lens, cfg.max_text_len))
+    assert np.all(np.asarray(ids_out)[~tmask] == 0)
+
+    # cross-modal (the expensive back-translation paths)
+    logits, _ = U.cm_text_in(params, state, ctx, cfg, ids, t_lens,
+                             infer_mel_len=8)
+    assert logits.shape == (2, cfg.max_text_len, 46)
+    (pre, post, stop), _ = U.cm_speech_in(params, state, ctx, cfg, mel,
+                                          m_lens, infer_text_len=6)
+    assert pre.shape == mel.shape
+
+
+def test_discriminator_shapes(tr_model):
+    cfg, params, state = tr_model
+    ids, t_lens = _text_batch(cfg)
+    ctx = nn.Ctx(rng=jax.random.PRNGKey(10), train=True)
+    (logits, latents, lens, mask), _ = U.text_ae(params, state, ctx, cfg,
+                                                 ids, t_lens, ret_enc_hid=True)
+    cfg_d = cfg.replace(use_discriminator=True)
+    p_full, _ = U.unast_init(jax.random.PRNGKey(3), cfg_d)
+    out = U.lstm_discriminator(p_full["discriminator"], ctx, latents, lens)
+    assert out.shape == (2,)
+
+    p_mlp = U.mlp_discriminator_init(jax.random.PRNGKey(4), cfg.enc_out_dim, 32)
+    out = U.mlp_discriminator(p_mlp, ctx, latents)
+    assert out.shape == latents.shape[:2]
+
+
+def test_vocoder_shapes():
+    cfg = TINY
+    p, s = U.vocoder_init(jax.random.PRNGKey(11), cfg, n_fft=256)
+    mel = jax.random.uniform(jax.random.PRNGKey(12), (2, 16, cfg.num_mels))
+    ctx = nn.Ctx(rng=jax.random.PRNGKey(13), train=True)
+    mag, new_s = U.vocoder(p, s, ctx, mel)
+    assert mag.shape == (2, 16, 129)
+
+
+def test_infer_jits(tr_model):
+    """The whole greedy TTS inference path must be jittable."""
+    cfg, params, state = tr_model
+    ids, t_lens = _text_batch(cfg)
+
+    @jax.jit
+    def run(params, state, ids, t_lens):
+        ectx = nn.Ctx.eval()
+        (enc, mask), _ = N.text_encode(params["text_m"], state["text_m"],
+                                       ectx, cfg, ids, t_lens)
+        (pre, post, stops, stop_lens), _ = N.speech_infer(
+            params["speech_m"], state["speech_m"], ectx, cfg, enc, mask)
+        return pre
+
+    out = run(params, state, ids, t_lens)
+    assert out.shape == (2, cfg.max_mel_len, cfg.num_mels)
+
+
+def test_num_params(tr_model):
+    cfg, params, _ = tr_model
+    assert U.num_params(params) > 10000

@@ -1,0 +1,101 @@
+"""Model configuration — a frozen, hashable dataclass mirroring the knobs of
+the reference config system (src/configs/*.json, parsed at src/utils.py:198-229
+and consumed by initialize_model, src/train.py:910-931).
+
+Being hashable, it can ride jit static_argnums so every forward compiles
+against fixed shapes/hyperparameters.
+"""
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+from ..text.symbols import symbols
+
+VOCAB_SIZE = len(symbols)  # 46 (reference src/data/symbols.py:26)
+PAD_IDX = 0
+SOS_IDX = 1
+EOS_IDX = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # Backbone selection: 'transformer' | 'rnn' (src/train.py:915-920)
+    model_type: str = "transformer"
+
+    # Dimensions (src/configs/transformer_trans.json)
+    num_mels: int = 80
+    hidden: int = 256
+    e_in: int = 256
+    t_emb_dim: int = 256
+    s_pre_hid: int = 256
+    ffn_dim: int = 1024
+    num_layers: int = 4
+    nhead: int = 4
+
+    # Dropouts
+    s_pre_drop: float = 0.5
+    s_post_drop: float = 0.1
+    t_pre_drop: float = 0.5
+    t_post_drop: float = 0.1
+    e_drop: float = 0.1
+    d_drop: float = 0.1
+
+    # RNN-specific (src/configs/rnn_d_lsa.json)
+    e_bi: bool = True
+    d_attn: Optional[str] = "lsa"  # 'lsa' | 'luong' | None
+    attn_dim: int = 128
+
+    # Discriminator (src/train.py:922-924)
+    use_discriminator: bool = False
+    disc_hid: int = 64
+    disc_bidirectional: bool = True
+    disc_num_layers: int = 2
+
+    # Inference caps (src/network.py:219,455). Static so decode loops compile
+    # with fixed-size buffers; TPU-native replacement for the reference's
+    # growing-tensor python loops.
+    max_mel_len: int = 815
+    max_text_len: int = 300
+
+    # Noising / augmentation (src/utils.py:40-75)
+    noise_mask_p: float = 0.3
+    spec_freq_mask: int = 20
+    spec_time_mask: int = 100
+
+    # Compute dtype for activations ('bfloat16' on TPU, 'float32' for parity
+    # tests). Params are always float32.
+    compute_dtype: str = "float32"
+
+    @property
+    def enc_out_dim(self) -> int:
+        """Latent dim seen by decoders/discriminator: 2*hidden for the
+        bidirectional RNN encoder, hidden otherwise (src/train.py:922-924)."""
+        if self.model_type == "rnn" and self.e_bi:
+            return 2 * self.hidden
+        return self.hidden
+
+    @property
+    def head_dim(self) -> int:
+        return self.e_in // self.nhead
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_args(cls, args) -> "ModelConfig":
+        """Build from a flat config namespace/dict (reference-style JSON)."""
+        d = vars(args) if not isinstance(args, dict) else dict(args)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+# Small configs for tests / smoke runs.
+TINY = ModelConfig(
+    hidden=32, e_in=32, t_emb_dim=32, s_pre_hid=32, ffn_dim=64,
+    num_layers=2, nhead=2, attn_dim=16, disc_hid=16,
+    max_mel_len=24, max_text_len=16,
+)

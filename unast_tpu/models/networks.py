@@ -1,0 +1,497 @@
+"""The four backbone networks — TextTransformer, SpeechTransformer, TextRNN,
+SpeechRNN — as pure init/encode/decode_sequence/infer_sequence functions.
+
+Parity targets: src/network.py:188-276 (SpeechTransformer), :279-402
+(SpeechRNN), :417-500 (TextTransformer), :503-624 (TextRNN). The shared
+contract (AutoEncoderNet, src/network.py:13-85): encode returns a latent
+memory either decoder can attend to (§2.2 of SURVEY.md).
+
+TPU-native decode design (replaces the reference's python loops over growing
+tensors):
+  - fixed [B, max_len(+1), ...] buffers + per-sequence stop bookkeeping,
+    wrapped in lax.while_loop so compilation sees static shapes and the loop
+    exits as soon as every sequence has stopped;
+  - transformer inference uses the KV cache from transformer.py (the
+    reference re-runs the full decoder stack over the whole prefix each
+    step, src/network.py:229-243,463-474);
+  - RNN inference threads (h, c) + attention state through the loop carry
+    (the reference's stateful LSA init_memory/clear_memory,
+    src/module.py:409-419);
+  - stop semantics match the reference exactly: a sequence's stop_len is
+    set the first step its stop condition fires (sigmoid(stop) >= .5 for
+    speech, EOS for text), outputs beyond stop_len are masked to zero
+    (src/network.py:236-252,469-481).
+
+Documented deviation: the reference TextRNN decoder re-embeds the whole
+prefix through SAME-padded convs every step (src/network.py:573-576), an
+O(T^2) scheme that leaks up to two future tokens per conv layer at interior
+positions; we use strictly-causal convs applied once over the sequence
+(O(T)), and inside the inference loop BatchNorm always uses running stats.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from .config import ModelConfig, PAD_IDX, SOS_IDX, EOS_IDX
+from . import modules as M
+from . import transformer as T
+from . import rnn as R
+
+
+def _fold_ctx(ctx: nn.Ctx, i) -> nn.Ctx:
+    """Fresh per-iteration rng inside decode loops (the loop body is traced
+    once, so Ctx's op counter alone would repeat masks across steps)."""
+    if ctx.rng is None:
+        return nn.Ctx(rng=None, train=ctx.train)
+    return nn.Ctx(rng=jax.random.fold_in(ctx.rng, i), train=ctx.train)
+
+
+# ===========================================================================
+# TextTransformer (src/network.py:417-500)
+# ===========================================================================
+
+
+def text_transformer_init(key, cfg: ModelConfig):
+    ks = jax.random.split(key, 4)
+    prenet_p, prenet_s = M.text_prenet_init(ks[0], cfg)
+    params = {
+        "prenet": prenet_p,
+        "encoder": T.encoder_init(ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                                  cfg.num_layers),
+        "decoder": T.decoder_init(ks[2], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                                  cfg.num_layers),
+        "postnet": M.text_postnet_init(ks[3], cfg),
+    }
+    return params, {"prenet": prenet_s}
+
+
+def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
+    """ids: [B, T] int32. Returns ((memory [B,T,D], pad_mask), new_state)."""
+    pad_mask = ~M.lens_to_mask(lens, ids.shape[1])
+    x = M.text_embed(p["prenet"], ctx, ids, cfg)
+    if noise_in:
+        x = M.noise_fn(ctx, x, cfg.noise_mask_p)
+    x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
+    x = M.positional_encoding(ctx, x)
+    memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop)
+    return (memory, pad_mask), {"prenet": prenet_s}
+
+
+def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
+                            memory, mem_pad_mask):
+    """Teacher-forced parallel decode -> logits [B, T, V]. The text decoder
+    input path embeds WITHOUT the conv stack (reference preprocess_decode,
+    src/network.py:435-438), so no BN state is touched."""
+    sos = jnp.full((tgt.shape[0], 1), SOS_IDX, tgt.dtype)
+    tgt_in = jnp.concatenate([sos, tgt[:, :-1]], axis=1)
+    tgt_pad_mask = ~M.lens_to_mask(tgt_lens, tgt.shape[1])
+    x = M.text_embed(p["prenet"], ctx, tgt_in, cfg)
+    x = M.positional_encoding(ctx, x)
+    h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
+                  cfg.nhead, cfg.d_drop)
+    return M.text_postnet(p["postnet"], ctx, h, cfg)
+
+
+def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
+                  max_len: Optional[int] = None):
+    """KV-cached greedy decode. Returns (ids [B, max_len] masked past stop,
+    stop_lens [B])."""
+    max_len = max_len or cfg.max_text_len
+    b = memory.shape[0]
+    cache = T.init_cache(p["decoder"], memory, max_len, cfg.nhead)
+    mem_bias = T.padding_bias(mem_pad_mask)
+    tokens = jnp.full((b, max_len + 1), PAD_IDX, jnp.int32).at[:, 0].set(SOS_IDX)
+    stop_lens = jnp.full((b,), max_len, jnp.int32)
+
+    def cond(c):
+        i, _, _, stop_lens = c
+        return jnp.logical_and(i < max_len, jnp.any(stop_lens == max_len))
+
+    def body(c):
+        i, tokens, cache, stop_lens = c
+        ctx_i = _fold_ctx(ctx, i)
+        cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+        x = M.text_embed(p["prenet"], ctx_i, cur, cfg)
+        x = M.positional_encoding(ctx_i, x, offset=i)
+        h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
+                                  cfg.nhead, cfg.d_drop)
+        logits = M.text_postnet(p["postnet"], ctx_i, h, cfg)
+        choice = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, choice[:, None], i + 1, axis=1)
+        newly = jnp.logical_and(choice == EOS_IDX, stop_lens == max_len)
+        stop_lens = jnp.where(newly, i + 1, stop_lens)
+        return (i + 1, tokens, cache, stop_lens)
+
+    _, tokens, _, stop_lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, cache, stop_lens))
+    res = tokens[:, 1:]
+    res = res * M.lens_to_mask(stop_lens, max_len).astype(res.dtype)
+    return res, stop_lens
+
+
+# ===========================================================================
+# SpeechTransformer (src/network.py:188-276)
+# ===========================================================================
+
+
+def speech_transformer_init(key, cfg: ModelConfig):
+    ks = jax.random.split(key, 4)
+    postnet_p, postnet_s = M.speech_postnet_init(ks[3], cfg)
+    params = {
+        "prenet": M.speech_prenet_init(ks[0], cfg),
+        "encoder": T.encoder_init(ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                                  cfg.num_layers),
+        "decoder": T.decoder_init(ks[2], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                                  cfg.num_layers),
+        "postnet": postnet_p,
+    }
+    return params, {"postnet": postnet_s}
+
+
+def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
+    pad_mask = ~M.lens_to_mask(lens, mel.shape[1])
+    x = M.noise_fn(ctx, mel, cfg.noise_mask_p) if noise_in else mel
+    x = M.speech_prenet(p["prenet"], ctx, x, cfg)
+    x = M.positional_encoding(ctx, x)
+    memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop)
+    return (memory, pad_mask), s
+
+
+def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
+                              memory, mem_pad_mask):
+    """Teacher-forced decode with zero-frame "go" shift (src/network.py:261).
+    Returns ((pre [B,T,80], post, stop [B,T], tgt_lens), new_state)."""
+    b = tgt.shape[0]
+    go = jnp.zeros((b, 1, cfg.num_mels), tgt.dtype)
+    tgt_in = jnp.concatenate([go, tgt[:, :-1]], axis=1)
+    tgt_pad_mask = ~M.lens_to_mask(tgt_lens, tgt.shape[1])
+    x = M.speech_prenet(p["prenet"], ctx, tgt_in, cfg)
+    x = M.positional_encoding(ctx, x)
+    h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
+                  cfg.nhead, cfg.d_drop)
+    pre, stop = M.speech_mel_and_stop(p["postnet"], h)
+    resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
+    return (pre, pre + resid, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
+
+
+def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
+                    max_len: Optional[int] = None):
+    """KV-cached greedy decode; stop when sigmoid(stop) >= .5 per sequence.
+    Returns ((pre, post, stops, stop_lens), new_state). The postnet residual
+    runs once over the full buffer INCLUDING the leading zero go-frame, then
+    the first frame is dropped (src/network.py:246-252)."""
+    max_len = max_len or cfg.max_mel_len
+    b = memory.shape[0]
+    cache = T.init_cache(p["decoder"], memory, max_len, cfg.nhead)
+    mem_bias = T.padding_bias(mem_pad_mask)
+    frames = jnp.zeros((b, max_len + 1, cfg.num_mels), memory.dtype)
+    stops = jnp.zeros((b, max_len), memory.dtype)
+    stop_lens = jnp.full((b,), max_len, jnp.int32)
+
+    def cond(c):
+        i, _, _, _, stop_lens = c
+        return jnp.logical_and(i < max_len, jnp.any(stop_lens == max_len))
+
+    def body(c):
+        i, frames, stops, cache, stop_lens = c
+        ctx_i = _fold_ctx(ctx, i)
+        cur = jax.lax.dynamic_slice_in_dim(frames, i, 1, axis=1)
+        x = M.speech_prenet(p["prenet"], ctx_i, cur, cfg)
+        x = M.positional_encoding(ctx_i, x, offset=i)
+        h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
+                                  cfg.nhead, cfg.d_drop)
+        mel_t, stop_t = M.speech_mel_and_stop(p["postnet"], h)
+        frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
+        stops = jax.lax.dynamic_update_slice_in_dim(
+            stops, stop_t[:, :, 0], i, axis=1)
+        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= 0.5
+        newly = jnp.logical_and(fired, stop_lens == max_len)
+        stop_lens = jnp.where(newly, i + 1, stop_lens)
+        return (i + 1, frames, stops, cache, stop_lens)
+
+    _, frames, stops, _, stop_lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), frames, stops, cache, stop_lens))
+
+    mask = M.lens_to_mask(stop_lens, max_len).astype(frames.dtype)
+    resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx,
+                                        frames, cfg)
+    pre = frames[:, 1:] * mask[..., None]
+    post = (frames + resid)[:, 1:] * mask[..., None]
+    stops = stops * mask
+    return (pre, post, stops, stop_lens), {"postnet": postnet_s}
+
+
+# ===========================================================================
+# TextRNN (src/network.py:503-624)
+# ===========================================================================
+
+
+def text_rnn_init(key, cfg: ModelConfig):
+    ks = jax.random.split(key, 4)
+    prenet_p, prenet_s = M.text_prenet_init(ks[0], cfg)
+    params = {
+        "prenet": prenet_p,
+        "encoder": R.rnn_encoder_init(ks[1], cfg.e_in, cfg.hidden,
+                                      cfg.num_layers, cfg.e_bi),
+        "decoder": R.rnn_decoder_init(ks[2], cfg.e_in, cfg.enc_out_dim,
+                                      cfg.hidden, cfg.num_layers,
+                                      cfg.d_attn, cfg.attn_dim),
+        "postnet": M.text_postnet_init(ks[3], cfg),
+    }
+    return params, {"prenet": prenet_s}
+
+
+def text_rnn_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
+    """Returns (((h, c), enc_out [B,T,enc_dim]), pad_mask), new_state."""
+    pad_mask = ~M.lens_to_mask(lens, ids.shape[1])
+    x = M.text_embed(p["prenet"], ctx, ids, cfg)
+    if noise_in:
+        x = M.noise_fn(ctx, x, cfg.noise_mask_p)
+    x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
+    enc_out, hc = R.rnn_encoder(p["encoder"], ctx, x, lens, cfg.e_drop)
+    return ((hc, enc_out), pad_mask), {"prenet": prenet_s}
+
+
+def _init_attn_state(p, cfg: ModelConfig, enc_out):
+    if cfg.d_attn == "lsa":
+        return R.lsa_init_state(p["decoder"]["attn"], enc_out)
+    # A dummy-but-typed state keeps the scan carry structure uniform.
+    b, s_, _ = enc_out.shape
+    z = jnp.zeros((b, s_), enc_out.dtype)
+    return R.LSAState(jnp.zeros((b, s_, 1), enc_out.dtype), z, z)
+
+
+def text_rnn_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
+                             enc_outputs, enc_pad_mask):
+    """Teacher-forced decode -> (logits [B,T,V], new_state). Gold inputs are
+    embedded once through CAUSAL prenet convs (see module docstring) and the
+    LSTM+attention scans over time."""
+    hc, enc_out = enc_outputs
+    b, t = tgt.shape
+    sos = jnp.full((b, 1), SOS_IDX, tgt.dtype)
+    tgt_in = jnp.concatenate([sos, tgt[:, :-1]], axis=1)
+    x = M.text_embed(p["prenet"], ctx, tgt_in, cfg)
+    x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg,
+                                      causal=True)
+    attn0 = _init_attn_state(p, cfg, enc_out)
+
+    def step(carry, inp):
+        i, hc, attn = carry
+        out, hc, attn = R.rnn_decoder_step(
+            p["decoder"], _fold_ctx(ctx, i), inp, hc, enc_out, enc_pad_mask,
+            attn, cfg.d_drop, cfg.d_attn)
+        return (i + 1, hc, attn), out
+
+    _, outs = jax.lax.scan(step, (jnp.int32(0), hc, attn0),
+                           jnp.swapaxes(x, 0, 1))
+    h_seq = jnp.swapaxes(outs, 0, 1)  # [B, T, H]
+    logits = M.text_postnet(p["postnet"], ctx, h_seq, cfg)
+    return logits, {"prenet": prenet_s}
+
+
+_TEXT_RNN_WINDOW = 13  # receptive field of 3 causal k=5 convs
+
+
+def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
+                   max_len: Optional[int] = None):
+    """Greedy decode. The causal conv prenet is evaluated incrementally on a
+    rolling 13-token embedding window (the exact receptive field), so each
+    step costs O(window) instead of the reference's O(prefix) re-embed.
+    BatchNorm uses running statistics inside the loop."""
+    max_len = max_len or cfg.max_text_len
+    hc, enc_out = enc_outputs
+    b = enc_out.shape[0]
+    emb_dim = cfg.t_emb_dim
+    eval_ctx_state = s["prenet"]
+
+    tokens = jnp.full((b, max_len), PAD_IDX, jnp.int32)
+    stop_lens = jnp.full((b,), max_len, jnp.int32)
+    window = jnp.zeros((b, _TEXT_RNN_WINDOW, emb_dim), enc_out.dtype)
+    sos_emb = M.text_embed(p["prenet"], nn.Ctx.eval(), jnp.full((b,), SOS_IDX), cfg)
+    window = window.at[:, -1].set(sos_emb)
+    attn0 = _init_attn_state(p, cfg, enc_out)
+
+    def cond(c):
+        i, _, _, _, _, stop_lens = c
+        return jnp.logical_and(i < max_len, jnp.any(stop_lens == max_len))
+
+    def body(c):
+        i, tokens, window, hc, attn, stop_lens = c
+        ctx_i = _fold_ctx(ctx, i)
+        # Prenet convs over the window with frozen BN stats; last position is
+        # exactly the causal full-sequence value.
+        wx, _ = M.text_prenet_convs(p["prenet"], eval_ctx_state,
+                                    nn.Ctx(rng=ctx_i.rng, train=False),
+                                    window, cfg, causal=True)
+        out, hc, attn = R.rnn_decoder_step(
+            p["decoder"], ctx_i, wx[:, -1], hc, enc_out, enc_pad_mask,
+            attn, cfg.d_drop, cfg.d_attn)
+        logits = M.text_postnet(p["postnet"], ctx_i, out, cfg)
+        choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, choice[:, None], i, axis=1)
+        newly = jnp.logical_and(choice == EOS_IDX, stop_lens == max_len)
+        stop_lens = jnp.where(newly, i + 1, stop_lens)
+        emb = M.text_embed(p["prenet"], nn.Ctx.eval(), choice, cfg)
+        window = jnp.concatenate([window[:, 1:], emb[:, None]], axis=1)
+        return (i + 1, tokens, window, hc, attn, stop_lens)
+
+    _, tokens, _, _, _, stop_lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, window, hc, attn0, stop_lens))
+    tokens = tokens * M.lens_to_mask(stop_lens, max_len).astype(tokens.dtype)
+    return tokens, stop_lens
+
+
+# ===========================================================================
+# SpeechRNN (src/network.py:279-402)
+# ===========================================================================
+
+
+def speech_rnn_init(key, cfg: ModelConfig):
+    ks = jax.random.split(key, 4)
+    postnet_p, postnet_s = M.speech_postnet_init(ks[3], cfg)
+    params = {
+        "prenet": M.speech_prenet_init(ks[0], cfg),
+        "encoder": R.rnn_encoder_init(ks[1], cfg.e_in, cfg.hidden,
+                                      cfg.num_layers, cfg.e_bi),
+        "decoder": R.rnn_decoder_init(ks[2], cfg.e_in, cfg.enc_out_dim,
+                                      cfg.hidden, cfg.num_layers,
+                                      cfg.d_attn, cfg.attn_dim),
+        "postnet": postnet_p,
+    }
+    return params, {"postnet": postnet_s}
+
+
+def speech_rnn_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
+    pad_mask = ~M.lens_to_mask(lens, mel.shape[1])
+    x = M.noise_fn(ctx, mel, cfg.noise_mask_p) if noise_in else mel
+    x = M.speech_prenet(p["prenet"], ctx, x, cfg)
+    enc_out, hc = R.rnn_encoder(p["encoder"], ctx, x, lens, cfg.e_drop)
+    return ((hc, enc_out), pad_mask), s
+
+
+def speech_rnn_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
+                               enc_outputs, enc_pad_mask):
+    """Teacher-forced scan. Postnet residual is computed over the buffer
+    including the leading zero frame then shifted off (src/network.py:377)."""
+    hc, enc_out = enc_outputs
+    b, t = tgt.shape[0], tgt.shape[1]
+    go = jnp.zeros((b, 1, cfg.num_mels), tgt.dtype)
+    tgt_in = jnp.concatenate([go, tgt[:, :-1]], axis=1)
+    attn0 = _init_attn_state(p, cfg, enc_out)
+
+    def step(carry, frame):
+        i, hc, attn = carry
+        ctx_i = _fold_ctx(ctx, i)
+        x = M.speech_prenet(p["prenet"], ctx_i, frame[:, None, :], cfg)[:, 0]
+        out, hc, attn = R.rnn_decoder_step(
+            p["decoder"], ctx_i, x, hc, enc_out, enc_pad_mask,
+            attn, cfg.d_drop, cfg.d_attn)
+        return (i + 1, hc, attn), out
+
+    _, outs = jax.lax.scan(step, (jnp.int32(0), hc, attn0),
+                           jnp.swapaxes(tgt_in, 0, 1))
+    h_seq = jnp.swapaxes(outs, 0, 1)
+    pre, stop = M.speech_mel_and_stop(p["postnet"], h_seq)
+    buf = jnp.concatenate([jnp.zeros_like(pre[:, :1]), pre], axis=1)
+    resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, buf, cfg)
+    post = (buf + resid)[:, 1:]
+    return (pre, post, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
+
+
+def speech_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
+                     max_len: Optional[int] = None):
+    max_len = max_len or cfg.max_mel_len
+    hc, enc_out = enc_outputs
+    b = enc_out.shape[0]
+    frames = jnp.zeros((b, max_len + 1, cfg.num_mels), enc_out.dtype)
+    stops = jnp.zeros((b, max_len), enc_out.dtype)
+    stop_lens = jnp.full((b,), max_len, jnp.int32)
+    attn0 = _init_attn_state(p, cfg, enc_out)
+
+    def cond(c):
+        i, _, _, _, _, stop_lens = c
+        return jnp.logical_and(i < max_len, jnp.any(stop_lens == max_len))
+
+    def body(c):
+        i, frames, stops, hc, attn, stop_lens = c
+        ctx_i = _fold_ctx(ctx, i)
+        cur = jax.lax.dynamic_slice_in_dim(frames, i, 1, axis=1)
+        x = M.speech_prenet(p["prenet"], ctx_i, cur, cfg)[:, 0]
+        out, hc, attn = R.rnn_decoder_step(
+            p["decoder"], ctx_i, x, hc, enc_out, enc_pad_mask,
+            attn, cfg.d_drop, cfg.d_attn)
+        mel_t, stop_t = M.speech_mel_and_stop(p["postnet"], out[:, None, :])
+        frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
+        stops = jax.lax.dynamic_update_slice_in_dim(
+            stops, stop_t[:, :, 0], i, axis=1)
+        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= 0.5
+        newly = jnp.logical_and(fired, stop_lens == max_len)
+        stop_lens = jnp.where(newly, i + 1, stop_lens)
+        return (i + 1, frames, stops, hc, attn, stop_lens)
+
+    _, frames, stops, _, _, stop_lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), frames, stops, hc, attn0, stop_lens))
+
+    mask = M.lens_to_mask(stop_lens, max_len).astype(frames.dtype)
+    resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx,
+                                        frames, cfg)
+    pre = frames[:, 1:] * mask[..., None]
+    post = (frames + resid)[:, 1:] * mask[..., None]
+    stops = stops * mask
+    return (pre, post, stops, stop_lens), {"postnet": postnet_s}
+
+
+# ===========================================================================
+# Dispatch helpers (model_type-agnostic API used by the UNAST facade)
+# ===========================================================================
+
+
+def text_init(key, cfg: ModelConfig):
+    return (text_transformer_init if cfg.model_type == "transformer"
+            else text_rnn_init)(key, cfg)
+
+
+def speech_init(key, cfg: ModelConfig):
+    return (speech_transformer_init if cfg.model_type == "transformer"
+            else speech_rnn_init)(key, cfg)
+
+
+def text_encode(p, s, ctx, cfg, ids, lens, noise_in=False):
+    fn = text_tr_encode if cfg.model_type == "transformer" else text_rnn_encode
+    return fn(p, s, ctx, cfg, ids, lens, noise_in)
+
+
+def speech_encode(p, s, ctx, cfg, mel, lens, noise_in=False):
+    fn = (speech_tr_encode if cfg.model_type == "transformer"
+          else speech_rnn_encode)
+    return fn(p, s, ctx, cfg, mel, lens, noise_in)
+
+
+def text_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask):
+    if cfg.model_type == "transformer":
+        return text_tr_decode_sequence(p, ctx, cfg, tgt, tgt_lens,
+                                       memory, mem_mask), s
+    return text_rnn_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens,
+                                    memory, mem_mask)
+
+
+def speech_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask):
+    fn = (speech_tr_decode_sequence if cfg.model_type == "transformer"
+          else speech_rnn_decode_sequence)
+    return fn(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask)
+
+
+def text_infer(p, s, ctx, cfg, memory, mem_mask, max_len=None):
+    if cfg.model_type == "transformer":
+        return text_tr_infer(p, ctx, cfg, memory, mem_mask, max_len), s
+    return text_rnn_infer(p, s, ctx, cfg, memory, mem_mask, max_len), s
+
+
+def speech_infer(p, s, ctx, cfg, memory, mem_mask, max_len=None):
+    fn = speech_tr_infer if cfg.model_type == "transformer" else speech_rnn_infer
+    return fn(p, s, ctx, cfg, memory, mem_mask, max_len)

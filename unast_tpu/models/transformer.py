@@ -1,0 +1,246 @@
+"""Post-LN transformer encoder/decoder with a KV-cached incremental decode
+path.
+
+Parity targets: reference TransformerEncoder/TransformerDecoder wrappers over
+torch.nn.Transformer* (src/module.py:270-293; torch 1.8 defaults: post-LN,
+ReLU FFN, dropout on attention weights and residuals, eps 1e-5 layernorm).
+
+TPU-native departures:
+  - batch-first [B, T, D] throughout (no seq-first transposes);
+  - masks are additive float biases computed once per forward;
+  - incremental decoding uses preallocated [B, max_len, H, Dh] KV caches and
+    a position mask — the reference re-runs the whole decoder over the
+    growing prefix every step with no cache (src/network.py:229-243), which
+    is O(T^2) full-stack work per sequence; the cache is the single biggest
+    inference win (BASELINE.md RTF target).
+  - softmax/layernorm accumulate in float32 regardless of compute dtype.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+NEG_INF = -1e9  # finite mask value: keeps fully-masked rows NaN-free
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+# ---------------------------------------------------------------------------
+
+
+def mha_init(key, d_model: int, nhead: int):
+    ks = jax.random.split(key, 4)
+    # torch MHA: xavier_uniform over the stacked [3E, E] in-proj (fan_in=E,
+    # fan_out=3E), zero in-proj bias; default out-proj with zero bias.
+    def in_proj(k):
+        w = nn.xavier_uniform(k, (d_model, d_model), 1.0,
+                              fan_in=d_model, fan_out=3 * d_model)
+        return {"w": w, "b": jnp.zeros((d_model,))}
+
+    out = nn.linear_init(ks[3], d_model, d_model, torch_default=True)
+    out["b"] = jnp.zeros((d_model,))
+    return {"q": in_proj(ks[0]), "k": in_proj(ks[1]), "v": in_proj(ks[2]),
+            "out": out}
+
+
+def _split_heads(x, nhead: int):
+    b, t, d = x.shape
+    return x.reshape(b, t, nhead, d // nhead)
+
+
+def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float):
+    """q: [B, Tq, H, Dh], k/v: [B, Tk, H, Dh], bias: [B|1, 1|H, Tq, Tk] additive.
+    Returns [B, Tq, H, Dh]. Scores accumulate in f32."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(dh)))
+    if bias is not None:
+        scores = scores + bias
+    w = jax.nn.softmax(scores, axis=-1)
+    w = nn.dropout(ctx, w, dropout_p)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def mha(p, ctx: nn.Ctx, q_in, kv_in, bias, nhead: int, dropout_p: float):
+    """Full (non-cached) attention. q_in: [B, Tq, D], kv_in: [B, Tk, D]."""
+    q = _split_heads(nn.linear(p["q"], q_in), nhead)
+    k = _split_heads(nn.linear(p["k"], kv_in), nhead)
+    v = _split_heads(nn.linear(p["v"], kv_in), nhead)
+    o = attention_core(q, k, v, bias, ctx, dropout_p)
+    b, t, h, dh = o.shape
+    return nn.linear(p["out"], o.reshape(b, t, h * dh))
+
+
+# ---------------------------------------------------------------------------
+# Mask/bias builders
+# ---------------------------------------------------------------------------
+
+
+def padding_bias(pad_mask):
+    """bool [B, Tk] (True = PAD) -> additive [B, 1, 1, Tk]."""
+    return jnp.where(pad_mask, NEG_INF, 0.0)[:, None, None, :].astype(jnp.float32)
+
+
+def causal_bias(t: int):
+    """additive [1, 1, T, T] lower-triangular mask."""
+    m = jnp.tril(jnp.ones((t, t), dtype=bool))
+    return jnp.where(m, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int):
+    ks = jax.random.split(key, 3)
+    return {
+        "attn": mha_init(ks[0], d_model, nhead),
+        "lin1": nn.linear_init(ks[1], d_model, ffn_dim, torch_default=True),
+        "lin2": nn.linear_init(ks[2], ffn_dim, d_model, torch_default=True),
+        "ln1": nn.layernorm_init(d_model),
+        "ln2": nn.layernorm_init(d_model),
+    }
+
+
+def _ffn(p, ctx: nn.Ctx, x, dropout_p: float):
+    h = nn.dropout(ctx, jax.nn.relu(nn.linear(p["lin1"], x)), dropout_p)
+    return nn.linear(p["lin2"], h)
+
+
+def encoder_layer(p, ctx: nn.Ctx, x, bias, nhead: int, dropout_p: float):
+    a = mha(p["attn"], ctx, x, x, bias, nhead, dropout_p)
+    x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
+    f = _ffn(p, ctx, x, dropout_p)
+    return nn.layernorm(p["ln2"], x + nn.dropout(ctx, f, dropout_p))
+
+
+def encoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
+    ks = jax.random.split(key, nlayers)
+    return {"layers": [encoder_layer_init(k, d_model, nhead, ffn_dim) for k in ks]}
+
+
+def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float):
+    """x: [B, T, D], pad_mask: bool [B, T] True=PAD."""
+    bias = padding_bias(pad_mask)
+    for lp in p["layers"]:
+        x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decoder (parallel teacher-forced path)
+# ---------------------------------------------------------------------------
+
+
+def decoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int):
+    ks = jax.random.split(key, 4)
+    return {
+        "self": mha_init(ks[0], d_model, nhead),
+        "cross": mha_init(ks[1], d_model, nhead),
+        "lin1": nn.linear_init(ks[2], d_model, ffn_dim, torch_default=True),
+        "lin2": nn.linear_init(ks[3], ffn_dim, d_model, torch_default=True),
+        "ln1": nn.layernorm_init(d_model),
+        "ln2": nn.layernorm_init(d_model),
+        "ln3": nn.layernorm_init(d_model),
+    }
+
+
+def decoder_layer(p, ctx: nn.Ctx, x, memory, self_bias, cross_bias,
+                  nhead: int, dropout_p: float):
+    a = mha(p["self"], ctx, x, x, self_bias, nhead, dropout_p)
+    x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
+    a = mha(p["cross"], ctx, x, memory, cross_bias, nhead, dropout_p)
+    x = nn.layernorm(p["ln2"], x + nn.dropout(ctx, a, dropout_p))
+    f = _ffn(p, ctx, x, dropout_p)
+    return nn.layernorm(p["ln3"], x + nn.dropout(ctx, f, dropout_p))
+
+
+def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
+    ks = jax.random.split(key, nlayers)
+    return {"layers": [decoder_layer_init(k, d_model, nhead, ffn_dim) for k in ks]}
+
+
+def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
+            nhead: int, dropout_p: float):
+    """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D]."""
+    t = x.shape[1]
+    self_bias = causal_bias(t) + padding_bias(tgt_pad_mask)
+    cross_bias = padding_bias(mem_pad_mask)
+    for lp in p["layers"]:
+        x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
+                          nhead, dropout_p)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Incremental decode with KV cache
+# ---------------------------------------------------------------------------
+
+
+class DecodeCache(NamedTuple):
+    """Preallocated self-attention KV caches plus precomputed cross-attention
+    K/V. All leaves are stacked over layers at axis 0."""
+
+    self_k: jnp.ndarray   # [L, B, max_len, H, Dh]
+    self_v: jnp.ndarray   # [L, B, max_len, H, Dh]
+    cross_k: jnp.ndarray  # [L, B, Ts, H, Dh]
+    cross_v: jnp.ndarray  # [L, B, Ts, H, Dh]
+
+
+def init_cache(p, memory, max_len: int, nhead: int) -> DecodeCache:
+    """Allocate caches and precompute cross-attention K/V once per sequence."""
+    b, ts, d = memory.shape
+    nlayers = len(p["layers"])
+    dh = d // nhead
+    cross_k = jnp.stack([
+        _split_heads(nn.linear(lp["cross"]["k"], memory), nhead)
+        for lp in p["layers"]])
+    cross_v = jnp.stack([
+        _split_heads(nn.linear(lp["cross"]["v"], memory), nhead)
+        for lp in p["layers"]])
+    zeros = jnp.zeros((nlayers, b, max_len, nhead, dh), memory.dtype)
+    return DecodeCache(zeros, zeros, cross_k, cross_v)
+
+
+def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
+                 nhead: int, dropout_p: float):
+    """One decode step. x: [B, 1, D] at position `pos` (traced scalar).
+    Attends over cache positions <= pos. Returns (y [B, 1, D], new_cache)."""
+    max_len = cache.self_k.shape[2]
+    # Positions > pos are masked out (the cache there is stale zeros).
+    pos_ids = jnp.arange(max_len)[None, None, None, :]
+    self_bias = jnp.where(pos_ids <= pos, 0.0, NEG_INF).astype(jnp.float32)
+
+    new_sk, new_sv = [], []
+    for li, lp in enumerate(p["layers"]):
+        q = _split_heads(nn.linear(lp["self"]["q"], x), nhead)
+        k_t = _split_heads(nn.linear(lp["self"]["k"], x), nhead)
+        v_t = _split_heads(nn.linear(lp["self"]["v"], x), nhead)
+        sk = jax.lax.dynamic_update_slice_in_dim(cache.self_k[li], k_t, pos, axis=1)
+        sv = jax.lax.dynamic_update_slice_in_dim(cache.self_v[li], v_t, pos, axis=1)
+        new_sk.append(sk)
+        new_sv.append(sv)
+        a = attention_core(q, sk, sv, self_bias, ctx, dropout_p)
+        b_, t_, h_, dh_ = a.shape
+        a = nn.linear(lp["self"]["out"], a.reshape(b_, t_, h_ * dh_))
+        x = nn.layernorm(lp["ln1"], x + nn.dropout(ctx, a, dropout_p))
+
+        q = _split_heads(nn.linear(lp["cross"]["q"], x), nhead)
+        a = attention_core(q, cache.cross_k[li], cache.cross_v[li],
+                           mem_bias, ctx, dropout_p)
+        a = nn.linear(lp["cross"]["out"], a.reshape(b_, t_, h_ * dh_))
+        x = nn.layernorm(lp["ln2"], x + nn.dropout(ctx, a, dropout_p))
+
+        f = _ffn(lp, ctx, x, dropout_p)
+        x = nn.layernorm(lp["ln3"], x + nn.dropout(ctx, f, dropout_p))
+
+    new_cache = DecodeCache(jnp.stack(new_sk), jnp.stack(new_sv),
+                            cache.cross_k, cache.cross_v)
+    return x, new_cache
