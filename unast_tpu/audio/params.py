@@ -40,5 +40,9 @@ class AudioParams:
     def n_freqs(self) -> int:
         return 1 + self.n_fft // 2
 
+    def replace(self, **kw) -> "AudioParams":
+        import dataclasses
+        return dataclasses.replace(self, **kw)
+
 
 DEFAULT = AudioParams()

@@ -1,0 +1,129 @@
+"""Datasets.
+
+LJSpeechDataset — parity with reference LJDatasets (src/preprocess.py:14-51):
+items are phonemized on the fly from the pipe-separated manifest and mels are
+loaded from the offline cache written by prepare.py (the reference caches
+`<wav>.pt.npy` next to the wavs, src/prepare_data.py:29-38; we cache
+`<id>.mel.npy` / `<id>.mag.npy` in a cache dir).
+
+SyntheticSpeechDataset — capability add: a deterministic corpus of sentences
+with procedurally generated audio (per-phoneme harmonic stacks), so the full
+pipeline (DSP -> model -> training) runs end-to-end with no LJSpeech on
+disk. Used by tests and bench.
+"""
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..text import raw_text_to_phoneme_ids
+from ..audio.params import DEFAULT as AUDIO_DEFAULT
+from ..audio import ref_dsp
+
+
+def load_manifest(path: str) -> List[Tuple[str, str]]:
+    """Pipe-separated rows `id|raw_text|normalized_text` (LJSpeech
+    metadata.csv / split CSV format, src/preprocess.py:20-23). Returns
+    [(id, text)] using the normalized column when present."""
+    rows = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if not parts or not parts[0]:
+                continue
+            text = parts[2] if len(parts) > 2 and parts[2] else parts[1]
+            rows.append((parts[0], text))
+    return rows
+
+
+class LJSpeechDataset:
+    """items: dict(ids int32[Tt], mel float32[Tm, n_mels], fname str).
+    Text is phonemized on access and memoized (the reference re-phonemizes
+    every __getitem__, src/preprocess.py:33 — memoization is a free win)."""
+
+    def __init__(self, manifest_path: str, cache_dir: str,
+                 include_mag: bool = False):
+        self.rows = load_manifest(manifest_path)
+        self.cache_dir = cache_dir
+        self.include_mag = include_mag
+        self._phon_cache: Dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i: int):
+        fname, text = self.rows[i]
+        if i not in self._phon_cache:
+            self._phon_cache[i] = np.asarray(
+                raw_text_to_phoneme_ids(text), np.int32)
+        item = {
+            "ids": self._phon_cache[i],
+            "mel": np.load(os.path.join(self.cache_dir, fname + ".mel.npy")),
+            "fname": fname,
+        }
+        if self.include_mag:
+            item["mag"] = np.load(
+                os.path.join(self.cache_dir, fname + ".mag.npy"))
+        return item
+
+
+_SYNTH_WORDS = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "speech", "model", "learns", "shared", "latent", "space", "text",
+    "audio", "printer", "press", "machine", "book", "history", "first",
+    "second", "sound", "wave", "signal", "process", "number", "seven",
+    "green", "light", "tower", "river", "stone", "night", "morning",
+]
+
+
+def synth_sentence(rng: np.random.Generator, n_words: Tuple[int, int]):
+    k = int(rng.integers(n_words[0], n_words[1] + 1))
+    return " ".join(rng.choice(_SYNTH_WORDS, size=k))
+
+
+def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
+                phoneme_dur_s: float = 0.08) -> np.ndarray:
+    """Each phoneme id becomes a short harmonic stack whose fundamental is a
+    deterministic function of the id — audio correlates with the text, so
+    ASR/TTS training on this corpus is learnable in principle."""
+    n = max(1, int(phoneme_dur_s * sr))
+    t = np.arange(n) / sr
+    segs = []
+    for pid in ids:
+        f0 = 120.0 + 12.0 * (int(pid) % 37)
+        seg = (0.5 * np.sin(2 * np.pi * f0 * t)
+               + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+               + 0.02 * rng.standard_normal(n))
+        env = np.hanning(n)
+        segs.append(seg * env)
+    wav = np.concatenate(segs) if segs else np.zeros(n)
+    return (0.5 * wav / max(1e-6, np.max(np.abs(wav)))).astype(np.float32)
+
+
+class SyntheticSpeechDataset:
+    """Deterministic (seeded) synthetic corpus; mels computed once via the
+    reference-parity CPU DSP and cached in memory."""
+
+    def __init__(self, size: int = 64, seed: int = 0,
+                 n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT):
+        self.size = size
+        self.params = params
+        self._items: Dict[int, dict] = {}
+        rng = np.random.default_rng(seed)
+        self._texts = [synth_sentence(rng, n_words) for _ in range(size)]
+        self._seed = seed
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, i: int):
+        if i not in self._items:
+            rng = np.random.default_rng(self._seed * 100003 + i)
+            ids = np.asarray(raw_text_to_phoneme_ids(self._texts[i]), np.int32)
+            wav = synth_audio(ids, self.params.sr, rng)
+            mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
+            self._items[i] = {"ids": ids, "mel": mel, "mag": mag,
+                              "fname": f"SYN-{i:05d}"}
+        return self._items[i]

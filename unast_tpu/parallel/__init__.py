@@ -1,0 +1,19 @@
+"""Parallelism layer: device mesh + GSPMD sharding rules.
+
+The reference has NO distributed machinery of any kind (single process,
+single device — SURVEY.md §2.3/§5.8), so this layer is a pure TPU-native
+addition: a (dp, tp) jax.sharding.Mesh, named-sharding rules for params /
+optimizer state / batches, and sharded jit wrappers. XLA inserts the ICI
+collectives (grad psum over dp, activation all-gathers for tp) — no
+hand-written communication."""
+
+from .mesh import (
+    make_mesh,
+    train_state_shardings,
+    batch_shardings,
+    replicated,
+    shard_train_step,
+)
+
+__all__ = ["make_mesh", "train_state_shardings", "batch_shardings",
+           "replicated", "shard_train_step"]

@@ -1,0 +1,100 @@
+"""Device mesh and sharding rules.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on the jit
+boundary, let XLA/GSPMD insert collectives over ICI.
+
+  - dp axis: batch dimension of every micro-batch; gradients are reduced by
+    XLA with a psum over 'dp' because the loss is a mean over the sharded
+    batch axis.
+  - tp axis: megatron-style split of each transformer layer — QKV and FFN
+    up-projections column-split (output features / heads over 'tp'), output
+    and FFN down-projections row-split (input features over 'tp') so each
+    pair needs a single all-reduce per block. Small glue params (norms,
+    embeddings, convs, biases of row-split layers) are replicated.
+
+The same path-based rule shards the optimizer moments because optax's
+ScaleByAdamState mirrors the param tree structure."""
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (
+        f"need {dp * tp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# Column-split (output dim over tp): attention q/k/v, FFN up-projection.
+_COL_W = re.compile(r"(^|/)(q|k|v|lin1)/w$")
+_COL_B = re.compile(r"(^|/)(q|k|v|lin1)/b$")
+# Row-split (input dim over tp): attention out-proj, FFN down-projection.
+_ROW_W = re.compile(r"(^|/)(out|lin2)/w$")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+    return "/".join(parts)
+
+
+def _spec_for(path, leaf) -> P:
+    if not hasattr(leaf, "ndim") or leaf.ndim < 1:
+        return P()
+    s = _path_str(path)
+    if leaf.ndim == 2:
+        if _COL_W.search(s):
+            return P(None, "tp")
+        if _ROW_W.search(s):
+            return P("tp", None)
+    if leaf.ndim == 1 and _COL_B.search(s):
+        return P("tp")
+    return P()
+
+
+def train_state_shardings(mesh: Mesh, ts) -> Any:
+    """NamedSharding pytree for a TrainState (params, BN state, optimizer
+    moments all via the same path rule; scalars replicated)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), ts)
+
+
+def batch_shardings(mesh: Mesh, batches) -> Any:
+    """Stacked micro-batches [n, B, ...]: shard B over 'dp'."""
+    def spec(leaf):
+        ndim = leaf.ndim if hasattr(leaf, "ndim") else 0
+        if ndim >= 2:
+            return NamedSharding(mesh, P(None, "dp"))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(spec, batches)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_train_step(train_step, mesh: Mesh, ts, example_batches):
+    """jit the train step with explicit in/out shardings over the mesh.
+    Returns (sharded_step, placed_train_state)."""
+    ts_sh = train_state_shardings(mesh, ts)
+    b_sh = batch_shardings(mesh, example_batches)
+    ts_placed = jax.device_put(ts, ts_sh)
+    step = jax.jit(
+        train_step,
+        in_shardings=(ts_sh, replicated(mesh), b_sh),
+        out_shardings=(ts_sh, replicated(mesh)),
+        donate_argnums=(0,),
+    )
+    return step, ts_placed

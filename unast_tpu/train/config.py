@@ -1,0 +1,157 @@
+"""Config/flag system — parity with reference parse_with_config
+(src/utils.py:198-229): `--config file.json` loads flat keys into the
+namespace; any explicitly-passed CLI flag overrides the JSON value.
+
+Adds what the reference lacks: declared defaults for every knob (the full
+design space of src/configs/*.json) and light validation."""
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="unast_tpu trainer")
+    add = p.add_argument
+    add("--config", type=str, default=None, help="JSON config (flat keys)")
+
+    # run control
+    add("--seed", type=int, default=0)
+    add("--epochs", type=int, default=300)
+    add("--epoch_steps", type=int, default=50)
+    add("--train_batch_size", type=int, default=4)
+    add("--eval_batch_size", type=int, default=100)
+    add("--num_workers", type=int, default=4)
+    add("--is_eval_test", action="store_true")
+
+    # optimizer / schedule
+    add("--lr", type=float, default=0.0625)
+    add("--weight_decay", type=float, default=1e-6)
+    add("--optim_type", type=str, default="adamw", choices=["adam", "adamw"])
+    add("--sched_type", type=str, default="transformer",
+        choices=["multistep", "linear", "transformer", "none"])
+    add("--warmup_steps", type=int, default=2000)
+    add("--lr_milestones", type=json.loads, default=[100, 200])
+    add("--lr_gamma", type=float, default=0.5)
+    add("--grad_clip", type=float, default=1.0)
+
+    # objective mix (src/train.py:597-638)
+    add("--ae_steps", type=int, default=4)
+    add("--cm_steps", type=int, default=8)
+    add("--sp_steps", type=int, default=4)
+    add("--d_steps", type=int, default=4)
+
+    # teacher forcing schedule (dormant in the reference, #51)
+    add("--teacher_init_val", type=float, default=1.0)
+    add("--teacher_gamma", type=float, default=0.98)
+    add("--teacher_decay_start", type=int, default=301)
+    add("--teacher_decay_end", type=int, default=301)
+
+    # model dims
+    add("--model_type", type=str, default="transformer",
+        choices=["transformer", "rnn"])
+    add("--num_mels", type=int, default=80)
+    add("--hidden", type=int, default=256)
+    add("--e_in", type=int, default=256)
+    add("--t_emb_dim", type=int, default=256)
+    add("--s_pre_hid", type=int, default=256)
+    add("--ffn_dim", type=int, default=1024)
+    add("--num_layers", type=int, default=4)
+    add("--nhead", type=int, default=4)
+    add("--s_pre_drop", type=float, default=0.5)
+    add("--s_post_drop", type=float, default=0.1)
+    add("--t_pre_drop", type=float, default=0.5)
+    add("--t_post_drop", type=float, default=0.1)
+    add("--e_drop", type=float, default=0.1)
+    add("--d_drop", type=float, default=0.1)
+    add("--e_bi", type=lambda s: s.lower() != "false", default=True)
+    add("--d_attn", type=str, default="lsa", choices=["lsa", "luong", "none"])
+    add("--attn_dim", type=int, default=128)
+
+    # discriminator
+    add("--use_discriminator", type=lambda s: s.lower() != "false",
+        default=False)
+    add("--disc_hid", type=int, default=64)
+    add("--disc_bidirectional", type=lambda s: s.lower() != "false",
+        default=True)
+    add("--disc_num_layers", type=int, default=2)
+
+    # losses
+    add("--s_eos_weight", type=float, default=5.0)
+    add("--t_eos_weight", type=float, default=1.0)
+
+    # sequence caps / buckets (TPU static shapes)
+    add("--max_mel_len", type=int, default=815)
+    add("--max_text_len", type=int, default=300)
+    add("--data_mel_len", type=int, default=816,
+        help="fixed padded mel frames for train batches")
+    add("--data_text_len", type=int, default=304,
+        help="fixed padded text length for train batches")
+    add("--cm_infer_mel_len", type=int, default=0,
+        help="cap for pseudo-speech inference in cm steps (0 = max_mel_len)")
+    add("--cm_infer_text_len", type=int, default=0,
+        help="cap for pseudo-text inference in cm steps (0 = max_text_len)")
+
+    # data
+    add("--data_path", type=str, default="./data/LJSpeech-1.1")
+    add("--splits_dir", type=str, default=None)
+    add("--synthetic", action="store_true",
+        help="use the synthetic dataset (no LJSpeech on disk)")
+    add("--synthetic_size", type=int, default=64)
+
+    # checkpoints / outputs
+    add("--checkpoint_path", type=str, default="./checkpoints/run")
+    add("--load_path", type=str, default=None)
+    add("--save_every", type=int, default=10)
+    add("--sample_path", type=str, default="./samples/run")
+    add("--tb_log_path", type=str, default=None)
+    add("--out_test_dir", type=str, default="./test_out")
+    add("--tb_example_step", type=int, default=5)
+
+    # precision / parallelism
+    add("--compute_dtype", type=str, default="bfloat16",
+        choices=["float32", "bfloat16"])
+    add("--dp", type=int, default=1, help="data-parallel mesh size")
+    add("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    add("--profile_dir", type=str, default=None,
+        help="write jax.profiler traces here (observability hook)")
+    return p
+
+
+def parse_with_config(argv=None) -> argparse.Namespace:
+    """JSON values fill in; explicit CLI flags win (src/utils.py:198-229)."""
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config is not None:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        argv_l = sys.argv[1:] if argv is None else list(argv)
+        cli_keys = {a.split("=")[0].lstrip("-") for a in argv_l
+                    if a.startswith("--")}
+        for k, v in cfg.items():
+            if k not in cli_keys and hasattr(args, k):
+                setattr(args, k, v)
+    if args.d_attn == "none":
+        args.d_attn = None
+    return args
+
+
+def model_config_from_args(args):
+    """Derive the frozen ModelConfig from the flat namespace."""
+    from ..models.config import ModelConfig
+    return ModelConfig(
+        model_type=args.model_type,
+        num_mels=args.num_mels, hidden=args.hidden, e_in=args.e_in,
+        t_emb_dim=args.t_emb_dim, s_pre_hid=args.s_pre_hid,
+        ffn_dim=args.ffn_dim, num_layers=args.num_layers, nhead=args.nhead,
+        s_pre_drop=args.s_pre_drop, s_post_drop=args.s_post_drop,
+        t_pre_drop=args.t_pre_drop, t_post_drop=args.t_post_drop,
+        e_drop=args.e_drop, d_drop=args.d_drop,
+        e_bi=args.e_bi, d_attn=args.d_attn, attn_dim=args.attn_dim,
+        use_discriminator=args.use_discriminator, disc_hid=args.disc_hid,
+        disc_bidirectional=args.disc_bidirectional,
+        disc_num_layers=args.disc_num_layers,
+        max_mel_len=args.max_mel_len, max_text_len=args.max_text_len,
+        compute_dtype=args.compute_dtype,
+    )

@@ -1,0 +1,168 @@
+"""Training driver — parity with reference train() (src/train.py:567-696):
+per epoch, epoch_steps outer steps of {accumulated 4-objective generator
+step + discriminator step}, then temporary checkpoint -> evaluate ->
+best-by-PER checkpoint -> periodic epoch checkpoint.
+
+Run:  python -m unast_tpu.train.loop --config configs/transformer_test.json \
+          --synthetic --epochs 1
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..data.batching import BatchGetter, BatchIterator
+from ..data.dataset import LJSpeechDataset, SyntheticSpeechDataset
+from ..infer.evaluate import evaluate
+from .config import parse_with_config, model_config_from_args
+from .checkpoint import save_ckp, load_ckp
+from .observe import MetricsWriter, log_loss_metrics, check_nan, maybe_profile
+from .steps import init_train_state, make_train_step
+
+
+def initialize_datasets(args):
+    """labeled / unlabeled / val / full (+ test) — src/train.py:961-975."""
+    if args.synthetic:
+        size = args.synthetic_size
+        mk = lambda seed, n: SyntheticSpeechDataset(size=n, seed=seed)
+        return {
+            "labeled": mk(1, max(2, size // 8)),
+            "unlabeled": mk(2, size),
+            "val": mk(3, max(2, size // 8)),
+            "full": mk(4, size),
+            "test": mk(5, max(2, size // 8)),
+        }
+    splits_dir = args.splits_dir or os.path.join(args.data_path, "splits")
+    cache_dir = os.path.join(args.data_path, "mel_cache")
+    ds = lambda name: LJSpeechDataset(
+        os.path.join(splits_dir, name + ".csv"), cache_dir)
+    return {"labeled": ds("labeled_train"), "unlabeled": ds("unlabeled_train"),
+            "val": ds("val"), "full": ds("full_train"), "test": ds("test")}
+
+
+def _val_batches(args, val_ds):
+    """Fixed-shape eval batches over the validation set (drop_last)."""
+    it = BatchIterator(val_ds, batch_size=min(args.eval_batch_size, len(val_ds)),
+                       text_len=args.data_text_len, mel_len=args.data_mel_len,
+                       seed=args.seed, n_mels=args.num_mels)
+    n = max(1, len(val_ds) // it.bs)
+    it._reshuffle()
+    return [it.next_batch() for _ in range(n)]
+
+
+def train(args):
+    cfg = model_config_from_args(args)
+    datasets = initialize_datasets(args)
+    batch_getter = BatchGetter(args, datasets["labeled"],
+                               datasets["unlabeled"], datasets["full"],
+                               n_mels=args.num_mels)
+    if not args.cm_infer_mel_len:
+        args.cm_infer_mel_len = cfg.max_mel_len
+    if not args.cm_infer_text_len:
+        args.cm_infer_text_len = cfg.max_text_len
+
+    key = jax.random.PRNGKey(args.seed)
+    ts = init_train_state(key, cfg, args)
+    s_epoch, best = 0, 300.0
+    if args.load_path and os.path.exists(args.load_path):
+        s_epoch, best, ts, _ = load_ckp(args.load_path, ts)
+        print(f"[INFO] Training from epoch {s_epoch}.")
+
+    train_step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
+    writer = MetricsWriter(
+        jsonl_path=os.path.join(args.checkpoint_path, "metrics.jsonl"),
+        tb_log_path=args.tb_log_path)
+
+    from ..models.unast import num_params
+    print(f"Training model with {num_params(ts.params)} parameters")
+
+    val_batches = _val_batches(args, datasets["val"])
+    per, eval_losses = evaluate(ts.params, ts.net_state, cfg, args,
+                                val_batches)
+    log_loss_metrics(eval_losses, s_epoch - 1, eval_=True)
+
+    rng = jax.random.PRNGKey(args.seed + 17)
+    step_count = s_epoch * args.epoch_steps
+    for epoch in range(s_epoch, args.epochs):
+        epoch_losses = {}
+        t0 = time.time()
+        with maybe_profile(args.profile_dir if epoch == s_epoch else None):
+            for s in range(args.epoch_steps):
+                batches = batch_getter.step_batches(args, cfg.use_discriminator)
+                batches = jax.tree_util.tree_map(jnp.asarray, batches)
+                step_rng = jax.random.fold_in(rng, step_count)
+                ts, metrics = train_step(ts, step_rng, batches)
+                step_count += 1
+                host = {k: float(v) for k, v in metrics.items()}
+                check_nan(host, step_count, args.checkpoint_path)
+                writer.scalars(step_count, host, prefix="train/")
+                for k, v in host.items():
+                    epoch_losses.setdefault(k, []).append(v)
+        dt = time.time() - t0
+        print(f"Epoch {epoch}: {args.epoch_steps} steps in {dt:.1f}s "
+              f"({args.epoch_steps / dt:.2f} steps/s)")
+
+        # pre-save so a crash in eval loses nothing (src/train.py:666-667)
+        save_ckp(epoch, 300.0, ts, False, args.checkpoint_path,
+                 temporary_save=True, rng=step_rng)
+        per, eval_losses = evaluate(ts.params, ts.net_state, cfg, args,
+                                    val_batches)
+        log_loss_metrics(epoch_losses, epoch)
+        log_loss_metrics(eval_losses, epoch, eval_=True)
+        writer.scalars(step_count, {k: np.mean(v) for k, v in
+                                    eval_losses.items()}, prefix="eval/")
+        writer.scalars(step_count, {"per": per}, prefix="eval/")
+
+        save_ckp(epoch, per, ts, per < best, args.checkpoint_path, rng=step_rng)
+        print("Eval_ epoch {:-3d} PER {:0.3f}%".format(epoch, per * 100))
+        if per < best:
+            print("\t Best score - saving model!")
+            best = per
+        if args.save_every and (epoch + 1) % args.save_every == 0:
+            save_ckp(epoch, per, ts, per < best, args.checkpoint_path,
+                     epoch_save=True, rng=step_rng)
+    writer.close()
+    return ts, best
+
+
+def evaluate_main(args):
+    """Test-set evaluation with dumps (src/train.py:985-998)."""
+    cfg = model_config_from_args(args)
+    datasets = initialize_datasets(args)
+    test_ds = datasets["test"]
+    it = BatchIterator(test_ds, batch_size=min(args.eval_batch_size, len(test_ds)),
+                       text_len=args.data_text_len, mel_len=args.data_mel_len,
+                       seed=args.seed, n_mels=args.num_mels)
+    it._order = np.arange(len(test_ds))  # unshuffled, reference shuffle=False
+    n = max(1, len(test_ds) // it.bs)
+    batches = [it.next_batch() for _ in range(n)]
+
+    ts = init_train_state(jax.random.PRNGKey(args.seed), cfg, args)
+    if args.load_path and os.path.exists(args.load_path):
+        _, _, ts, _ = load_ckp(args.load_path, ts)
+    per, eval_losses, d_score = evaluate(ts.params, ts.net_state, cfg, args,
+                                         batches, is_test=True)
+    log_loss_metrics(eval_losses, 0, eval_=True)
+    print(f"per : {per}")
+    print(f"d_score : {d_score}")
+    return per, d_score
+
+
+def main(argv=None):
+    args = parse_with_config(argv)
+    print(f"devices: {jax.devices()}")
+    if args.is_eval_test:
+        print("#### DOING EVALUATION ####")
+        evaluate_main(args)
+    else:
+        print("#### TRAINING ####")
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Optimizers and LR schedules via optax — parity with the reference's
+Adam/AdamW + three schedules (src/train.py:858-956).
+
+The reference uses ONE torch optimizer over all parameters and toggles
+requires_grad to alternate generator/discriminator phases
+(src/train.py:465-471). The functional equivalent is two optax chains over
+disjoint param partitions, each stepped once per outer step — identical
+effective updates (frozen torch params produce grad=None and are skipped)."""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# Schedules (multiplier applied to base lr, matching LambdaLR semantics)
+# ---------------------------------------------------------------------------
+
+
+def multistep_schedule(base_lr: float, milestones, gamma: float):
+    """torch MultiStepLR: lr *= gamma at each milestone step."""
+    ms = sorted(milestones)
+
+    def fn(step):
+        count = jnp.sum(jnp.asarray([step >= m for m in ms]).astype(jnp.int32)) \
+            if ms else 0
+        return base_lr * (gamma ** count)
+
+    return fn
+
+
+def linear_warmup_decay_schedule(base_lr: float, warmup_steps: int,
+                                 total_steps: int):
+    """Linear warmup to base_lr then linear decay to 0 (src/train.py:858-884)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        decay = jnp.maximum(
+            0.0, (total_steps - step) / jnp.maximum(1.0, total_steps - warmup_steps))
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return fn
+
+
+def transformer_schedule(base_lr: float, warmup_steps: int):
+    """"Attention is all you need" inverse-sqrt with warmup
+    (src/train.py:887-907): step/warmup^1.5 during warmup, then 1/sqrt(step)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, float(warmup_steps) ** 1.5)
+        decay = 1.0 / jnp.sqrt(jnp.maximum(1.0, step))
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return fn
+
+
+def make_schedule(args) -> optax.Schedule:
+    sched = getattr(args, "sched_type", "transformer")
+    lr = args.lr
+    if sched == "multistep":
+        ms = [m * args.epoch_steps for m in args.lr_milestones]
+        return multistep_schedule(lr, ms, args.lr_gamma)
+    if sched == "linear":
+        return linear_warmup_decay_schedule(
+            lr, args.warmup_steps, args.epochs * args.epoch_steps)
+    if sched == "transformer":
+        return transformer_schedule(lr, args.warmup_steps)
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(args, schedule: Optional[optax.Schedule] = None):
+    """Build the optax chain for one param partition. grad_clip > 0 applies
+    global-norm clipping before the step (src/train.py:358-363)."""
+    schedule = schedule or make_schedule(args)
+    optim_type = getattr(args, "optim_type", "adamw")
+    wd = getattr(args, "weight_decay", 0.0)
+    parts = []
+    if getattr(args, "grad_clip", 0.0) and args.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(args.grad_clip))
+    if optim_type == "adam":
+        # torch Adam L2: grad += wd * param BEFORE the moment update.
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    elif optim_type == "adamw":
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+    else:
+        raise ValueError(f"unknown optim_type {optim_type}")
+    parts.append(optax.scale_by_schedule(lambda s: -schedule(s)))
+    return optax.chain(*parts)
+
+
+def split_params(params):
+    """(generator_params, discriminator_params_or_None)."""
+    gen = {k: v for k, v in params.items() if k != "discriminator"}
+    return gen, params.get("discriminator")
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)

@@ -1,0 +1,298 @@
+"""The jit-compiled multi-objective train step.
+
+Parity target: the reference's inner loop (src/train.py:597-638) — per outer
+step, ae_steps AE batches + cm_steps back-translation batches + sp_steps
+supervised batches accumulate gradients (each micro-loss scaled by
+1/accum_steps, src/train.py:373,400,428) into ONE generator optimizer step,
+followed by d_steps discriminator batches into one discriminator step.
+
+TPU-native design: the whole thing is a single jitted function. Micro-batch
+accumulation is a lax.scan over stacked [n, B, ...] batches (grads summed in
+f32, BatchNorm state threaded through the carry); the reference's
+freeze/unfreeze requires_grad dance (src/train.py:465-471) becomes two optax
+chains over disjoint param partitions; torch.no_grad() becomes
+stop_gradient (already inside the task fns). The adversarial '1 - target'
+flip for generator phases (src/train.py:319-320) is a label tensor.
+"""
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import nn
+from ..models import unast as U
+from ..models import networks as N
+from ..models.config import ModelConfig
+from . import losses as L
+from .augment import specaugment
+from .optim import make_optimizer, make_schedule, split_params
+
+
+class TrainState(NamedTuple):
+    params: Any
+    net_state: Any          # BatchNorm running stats
+    gen_opt: Any
+    disc_opt: Any           # () when no discriminator
+    step: jnp.ndarray
+
+
+def init_train_state(key, cfg: ModelConfig, args) -> TrainState:
+    params, net_state = U.unast_init(key, cfg)
+    gen_tx, disc_tx = make_optimizers(cfg, args)
+    gen_params, disc_params = split_params(params)
+    gen_opt = gen_tx.init(gen_params)
+    disc_opt = disc_tx.init(disc_params) if disc_params is not None else ()
+    return TrainState(params, net_state, gen_opt, disc_opt, jnp.int32(0))
+
+
+def make_optimizers(cfg: ModelConfig, args):
+    sched = make_schedule(args)
+    gen_tx = make_optimizer(args, sched)
+    disc_tx = make_optimizer(args, sched)
+    return gen_tx, disc_tx
+
+
+# ---------------------------------------------------------------------------
+# Discriminator batch assembly (src/train.py:296-335)
+# ---------------------------------------------------------------------------
+
+
+def disc_shuffle_batch(rng, t_lat, t_len, s_lat, s_len,
+                       train_discriminator: bool):
+    """Pad text/speech latents to a common length with zeros (PAD_IDX=0),
+    concat, build smoothed targets (text .9 / speech .1; flipped for
+    generator phases), and shuffle."""
+    s_max = max(t_lat.shape[1], s_lat.shape[1])
+    t_lat = jnp.pad(t_lat, ((0, 0), (0, s_max - t_lat.shape[1]), (0, 0)))
+    s_lat = jnp.pad(s_lat, ((0, 0), (0, s_max - s_lat.shape[1]), (0, 0)))
+    d_hid = jnp.concatenate([t_lat, s_lat], axis=0)
+    d_len = jnp.concatenate([t_len, s_len], axis=0)
+    d_target = jnp.concatenate([
+        L.discriminator_target(t_lat.shape[0], "text"),
+        L.discriminator_target(s_lat.shape[0], "speech")])
+    if not train_discriminator:
+        d_target = 1.0 - d_target
+    perm = jax.random.permutation(rng, d_hid.shape[0])
+    return d_hid[perm], d_len[perm], d_target[perm]
+
+
+def _disc_adv_loss(params, ctx, rng, cfg, t_lat, t_len, s_lat, s_len):
+    """Frozen-discriminator adversarial loss for generator phases. Gradients
+    flow to the encoders through the latents; the discriminator partition's
+    grads are simply never applied by the generator chain."""
+    d_hid, d_len, d_target = disc_shuffle_batch(
+        rng, t_lat, t_len, s_lat, s_len, train_discriminator=False)
+    d_out = U.lstm_discriminator(params["discriminator"], ctx, d_hid, d_len)
+    return L.discriminator_loss(d_out, d_target)
+
+
+# ---------------------------------------------------------------------------
+# Per-objective losses. Each returns (scalar_loss_scaled, (aux, new_state)).
+# ---------------------------------------------------------------------------
+
+
+def _gold(batch):
+    text, mel, text_len, mel_len = batch
+    gold_stop = L.stop_label_from_lens(mel_len, mel.shape[1])
+    return text, mel, text_len, mel_len, gold_stop
+
+
+def ae_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
+    """Denoising AE objective (src/train.py:199-229)."""
+    text, mel, text_len, mel_len, gold_stop = _gold(batch)
+    ctx = nn.Ctx(rng=rng, train=True)
+    aux = {}
+    if cfg.use_discriminator:
+        (logits, t_lat, t_l, _), st = U.text_ae(params, net_state, ctx, cfg,
+                                                text, text_len, ret_enc_hid=True)
+        (pre, post, stop, s_lat, s_l, _), st = U.speech_ae(
+            params, st, ctx, cfg, mel, mel_len, ret_enc_hid=True)
+        d_loss = _disc_adv_loss(params, ctx, ctx.next_rng(), cfg,
+                                t_lat, t_l, s_lat, s_l)
+        aux["d_ae"] = d_loss
+    else:
+        logits, st = U.text_ae(params, net_state, ctx, cfg, text, text_len)
+        (pre, post, stop), st = U.speech_ae(params, st, ctx, cfg, mel, mel_len)
+        d_loss = 0.0
+    t_ae = L.text_loss(text, logits, args.t_eos_weight)
+    s_ae = L.speech_loss(mel, gold_stop, pre, post, mel_len, stop,
+                         args.s_eos_weight)
+    aux.update(t_ae=t_ae, s_ae=s_ae)
+    return (t_ae + s_ae + d_loss) * scale, (aux, st)
+
+
+def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
+    """Supervised paired objective with SpecAugment on the ASR input only
+    (src/train.py:231-259)."""
+    text, mel, text_len, mel_len, gold_stop = _gold(batch)
+    ctx = nn.Ctx(rng=rng, train=True)
+    mel_aug = specaugment(ctx.next_rng(), mel, mel_len,
+                          cfg.spec_freq_mask, cfg.spec_time_mask)
+    aux = {}
+    if cfg.use_discriminator:
+        (pre, post, stop, _, t_lat), st = U.tts(params, net_state, ctx, cfg,
+                                                text, text_len, mel, mel_len,
+                                                ret_enc_hid=True)
+        (logits, s_lat), st = U.asr(params, st, ctx, cfg, text, text_len,
+                                    mel_aug, mel_len, ret_enc_hid=True)
+        d_loss = _disc_adv_loss(params, ctx, ctx.next_rng(), cfg,
+                                t_lat, text_len, s_lat, mel_len)
+        aux["d_sp"] = d_loss
+    else:
+        (pre, post, stop, _), st = U.tts(params, net_state, ctx, cfg,
+                                         text, text_len, mel, mel_len)
+        logits, st = U.asr(params, st, ctx, cfg, text, text_len,
+                           mel_aug, mel_len)
+        d_loss = 0.0
+    tts_l = L.speech_loss(mel, gold_stop, pre, post, mel_len, stop,
+                          args.s_eos_weight)
+    asr_l = L.text_loss(text, logits, args.t_eos_weight)
+    aux.update(tts=tts_l, asr=asr_l)
+    return (tts_l + asr_l + d_loss) * scale, (aux, st)
+
+
+def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
+    """Back-translation objective (src/train.py:261-294). The greedy
+    pseudo-pair inference runs inside the jitted step with stop_gradient."""
+    text, mel, text_len, mel_len, gold_stop = _gold(batch)
+    ctx = nn.Ctx(rng=rng, train=True)
+    infer_mel = getattr(args, "cm_infer_mel_len", None) or cfg.max_mel_len
+    infer_text = getattr(args, "cm_infer_text_len", None) or cfg.max_text_len
+    aux = {}
+    if cfg.use_discriminator:
+        (pre, post, stop, t_lat, t_l, _), st = U.cm_speech_in(
+            params, net_state, ctx, cfg, mel, mel_len, ret_enc_hid=True,
+            infer_text_len=infer_text)
+        (logits, s_lat, s_l, _), st = U.cm_text_in(
+            params, st, ctx, cfg, text, text_len, ret_enc_hid=True,
+            infer_mel_len=infer_mel)
+        d_loss = _disc_adv_loss(params, ctx, ctx.next_rng(), cfg,
+                                t_lat, t_l, s_lat, s_l)
+        aux["d_cm"] = d_loss
+    else:
+        (pre, post, stop), st = U.cm_speech_in(
+            params, net_state, ctx, cfg, mel, mel_len,
+            infer_text_len=infer_text)
+        logits, st = U.cm_text_in(params, st, ctx, cfg, text, text_len,
+                                  infer_mel_len=infer_mel)
+        d_loss = 0.0
+    s_cm = L.speech_loss(mel, gold_stop, pre, post, mel_len, stop,
+                         args.s_eos_weight)
+    t_cm = L.text_loss(text, logits, args.t_eos_weight)
+    aux.update(s_cm=s_cm, t_cm=t_cm)
+    return (s_cm + t_cm + d_loss) * scale, (aux, st)
+
+
+def disc_loss_fn(disc_params, gen_params, net_state, rng, batch,
+                 cfg: ModelConfig, args, scale):
+    """Discriminator training objective on detached encodings with TRUE
+    labels (src/train.py:337-354)."""
+    text, mel, text_len, mel_len, _ = _gold(batch)
+    ctx = nn.Ctx(rng=rng, train=True)
+    params = dict(gen_params, discriminator=disc_params)
+    (t_enc, _), _ = N.text_encode(params["text_m"], net_state["text_m"],
+                                  ctx, cfg, text, text_len)
+    (s_enc, _), _ = N.speech_encode(params["speech_m"], net_state["speech_m"],
+                                    ctx, cfg, mel, mel_len)
+    t_lat = jax.lax.stop_gradient(U._latent(t_enc, cfg))
+    s_lat = jax.lax.stop_gradient(U._latent(s_enc, cfg))
+    d_hid, d_len, d_target = disc_shuffle_batch(
+        ctx.next_rng(), t_lat, text_len, s_lat, mel_len,
+        train_discriminator=True)
+    d_out = U.lstm_discriminator(params["discriminator"], ctx, d_hid, d_len)
+    d_loss = L.discriminator_loss(d_out, d_target)
+    return d_loss * scale, {"d": d_loss}
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation over stacked micro-batches
+# ---------------------------------------------------------------------------
+
+
+def _accumulate(loss_fn, params, net_state, rng, stacked_batches):
+    """lax.scan over the leading micro-batch axis, summing grads and
+    threading BatchNorm state. Returns (grads, new_state, stacked_aux)."""
+    zero_grads = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape, jnp.float32), params)
+
+    def body(carry, xs):
+        acc, st = carry
+        i, batch = xs
+        (_, (aux, new_st)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, st, jax.random.fold_in(rng, i), batch)
+        acc = jax.tree_util.tree_map(
+            lambda a, b: a + b.astype(jnp.float32), acc, g)
+        return (acc, new_st), aux
+
+    n = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
+    idx = jnp.arange(n)
+    (grads, new_state), aux = jax.lax.scan(
+        body, (zero_grads, net_state), (idx, stacked_batches))
+    return grads, new_state, aux
+
+
+def make_train_step(cfg: ModelConfig, args):
+    """Returns train_step(ts, rng, batches) -> (ts, metrics), jittable.
+
+    `batches` is a dict with stacked micro-batch pytrees:
+      'ae': [ae_steps, B, ...], 'cm': [cm_steps, ...], 'sp': [sp_steps, ...]
+      and, when cfg.use_discriminator, 'd': [d_steps, ...].
+    Each micro-batch is (text, mel, text_len, mel_len)."""
+    gen_tx, disc_tx = make_optimizers(cfg, args)
+    accum = args.ae_steps + args.cm_steps + args.sp_steps
+    scale = 1.0 / accum
+
+    def train_step(ts: TrainState, rng, batches):
+        metrics = {}
+        k_ae, k_cm, k_sp, k_d = jax.random.split(rng, 4)
+
+        total = None
+        net_state = ts.net_state
+        for name, key, fn in (("ae", k_ae, ae_loss_fn),
+                              ("cm", k_cm, cm_loss_fn),
+                              ("sp", k_sp, sp_loss_fn)):
+            if name not in batches:
+                continue
+            loss_fn = functools.partial(fn, cfg=cfg, args=args, scale=scale)
+            g, net_state, aux = _accumulate(loss_fn, ts.params, net_state,
+                                            key, batches[name])
+            total = g if total is None else jax.tree_util.tree_map(
+                jnp.add, total, g)
+            metrics.update({f"{name}/{k}": jnp.mean(v) for k, v in aux.items()})
+
+        gen_params, disc_params = split_params(ts.params)
+        gen_grads = {k: v for k, v in total.items() if k != "discriminator"}
+        metrics["grad_norm"] = optax.global_norm(gen_grads)
+        updates, gen_opt = gen_tx.update(gen_grads, ts.gen_opt, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        new_params = dict(gen_params)
+        disc_opt = ts.disc_opt
+
+        if cfg.use_discriminator and "d" in batches:
+            d_fn = functools.partial(
+                disc_loss_fn, gen_params=gen_params, net_state=net_state,
+                cfg=cfg, args=args, scale=1.0 / args.d_steps)
+
+            def d_loss(disc_p, st, key, batch):
+                loss, aux = d_fn(disc_p, rng=key, batch=batch)
+                return loss, (aux, st)
+
+            d_grads, _, d_aux = _accumulate(d_loss, disc_params, net_state,
+                                            k_d, batches["d"])
+            d_updates, disc_opt = disc_tx.update(d_grads, disc_opt, disc_params)
+            disc_params = optax.apply_updates(disc_params, d_updates)
+            metrics.update({f"d/{k}": jnp.mean(v) for k, v in d_aux.items()})
+
+        if disc_params is not None:
+            new_params["discriminator"] = disc_params
+
+        metrics["param_sum"] = sum(
+            jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(new_params))
+        new_ts = TrainState(new_params, net_state, gen_opt, disc_opt,
+                            ts.step + 1)
+        return new_ts, metrics
+
+    return train_step
