@@ -20,15 +20,23 @@ import numpy as np
 
 
 def _time(fn, iters=5, warmup=2):
+    """Median wall time of fn(). fn must force completion by FETCHING a
+    scalar from the device output (float(x[0,...])): on the axon TPU tunnel
+    block_until_ready does not reliably block, and fetching via a NEW op
+    (e.g. .sum() outside jit) triggers a per-op compile — so kernels under
+    test should return a small array whose indexing is compiled during
+    warmup."""
     for _ in range(warmup):
         fn()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
-def bench_wav_to_mel(n_clips=16, clip_s=10.0):
+def bench_wav_to_mel(n_clips=256, clip_s=10.0):
     """Throughput of wav->mel on device (batched via vmap over clips) vs the
     reference CPU path, in clips/s of `clip_s`-second audio."""
     import jax
@@ -41,7 +49,7 @@ def bench_wav_to_mel(n_clips=16, clip_s=10.0):
     clips = rng.standard_normal((n_clips, n)).astype(np.float32) * 0.1
 
     # --- measured CPU baseline (reference algorithm, single clip loop) ---
-    base_iters = 2
+    base_iters = 3
     t0 = time.perf_counter()
     for i in range(base_iters):
         ref_dsp.wav_to_mel_mag(clips[i], P, trim=False)
@@ -61,7 +69,7 @@ def bench_wav_to_mel(n_clips=16, clip_s=10.0):
         return jax.vmap(one)(x)
 
     xs = jnp.asarray(clips)
-    dt = _time(lambda: jax.block_until_ready(batched(xs)))
+    dt = _time(lambda: float(batched(xs)[0, 0, 0]))
     tpu_cps = n_clips / dt
     return {"metric": "wav_to_mel_throughput", "value": round(tpu_cps, 2),
             "unit": f"clips/s ({clip_s:.0f}s audio)",
@@ -82,8 +90,8 @@ def bench_griffin_lim(frames=512):
     cpu_per_iter = (time.perf_counter() - t0) / 4
 
     gl = jax.jit(lambda m: dsp.griffin_lim(m, P))
-    dt = _time(lambda: jax.block_until_ready(gl(jnp.asarray(mag))), iters=3,
-               warmup=1)
+    mag_j = jnp.asarray(mag)
+    dt = _time(lambda: float(gl(mag_j)[0]), iters=3, warmup=2)
     audio_s = frames * P.hop_length / P.sr
     rtf = dt / audio_s
     return {"metric": "griffin_lim_rtf", "value": round(rtf, 4),
@@ -114,9 +122,8 @@ def bench_tts_infer():
                        None, None, infer=True)
         return out[1], out[3]
 
-    post, stop_lens = jax.block_until_ready(infer(params, state, text, text_len))
-    dt = _time(lambda: jax.block_until_ready(
-        infer(params, state, text, text_len)), iters=3, warmup=1)
+    dt = _time(lambda: float(infer(params, state, text, text_len)[0][0, 0, 0]),
+               iters=3, warmup=2)
     audio_s = cfg.max_mel_len * P.hop_length / P.sr  # worst case full cap
     rtf = dt / audio_s
     # vs_baseline: ratio to the BASELINE.json north-star target (RTF 0.05);
@@ -147,9 +154,9 @@ def bench_train_step():
         jnp.asarray, bg.step_batches(args, True))
     step = jax.jit(make_train_step(cfg, args))
     ts, m = step(ts, jax.random.PRNGKey(1), batches)
-    jax.block_until_ready(m)
-    dt = _time(lambda: jax.block_until_ready(
-        step(ts, jax.random.PRNGKey(2), batches)[1]), iters=2, warmup=0)
+    float(m['grad_norm'])
+    dt = _time(lambda: float(step(ts, jax.random.PRNGKey(2), batches)[1]['grad_norm']),
+               iters=2, warmup=0)
     return {"metric": "train_step_time", "value": round(dt, 3),
             "unit": "s per 16-microbatch outer step", "vs_baseline": 1.0}
 

@@ -83,7 +83,7 @@ def test_vocoder_trainer():
         "--lr", "0.001", "--sched_type", "multistep", "--seed", "0",
         "--grad_clip", "1.0"])
     args.hidden_size = 32
-    args.n_fft = 256
+    args.n_fft = 2048  # synthetic mags carry the full 1025 freq bins
     args.valid_size = 2
     ds = SyntheticSpeechDataset(size=6, seed=0)
     params, vstate, losses = train_vocoder(args, ds, epochs=2)

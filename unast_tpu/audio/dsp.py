@@ -144,7 +144,13 @@ def wav_to_mel_mag(y: np.ndarray, p: AudioParams = DEFAULT, trim: bool = True):
     Parity: reference get_spectrograms (src/utils.py:235-278).
     """
     if trim:
-        y, _ = ref_dsp.trim_silence(np.asarray(y, dtype=np.float32), p)
+        try:
+            from .. import native
+            y, _ = native.trim_silence(np.asarray(y, np.float32),
+                                       p.trim_frame_length,
+                                       p.trim_hop_length, p.trim_top_db)
+        except Exception:
+            y, _ = ref_dsp.trim_silence(np.asarray(y, dtype=np.float32), p)
     n = len(y)
     n_frames_valid = 1 + n // p.hop_length if n > 0 else 0
     bucket = next(

@@ -35,19 +35,15 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
 
 def compute_per(ground_truth, hypothesis, gt_lens, hyp_lens) -> float:
     """ground_truth/hypothesis: [B, T] id arrays; lens: [B]. Equivalent to
-    jiwer.wer over space-joined id strings: sum(edit) / sum(ref_len)."""
+    jiwer.wer over space-joined id strings: sum(edit) / sum(ref_len).
+    Uses the C++ batch Levenshtein (unast_tpu/native) when built."""
     gt = np.asarray(ground_truth)
     hyp = np.asarray(hypothesis)
-    gt_lens = np.asarray(gt_lens)
-    hyp_lens = np.asarray(hyp_lens)
-    total_edits = 0
-    total_ref = 0
-    for b in range(gt.shape[0]):
-        r = gt[b, : gt_lens[b]].tolist()
-        h = hyp[b, : hyp_lens[b]].tolist()
-        total_edits += edit_distance(r, h)
-        total_ref += len(r)
-    return total_edits / max(1, total_ref)
+    gt_lens = np.asarray(gt_lens, np.int32)
+    hyp_lens = np.asarray(hyp_lens, np.int32)
+    from .. import native
+    dists = native.levenshtein_batch(gt, hyp, gt_lens, hyp_lens)
+    return float(np.sum(dists)) / max(1, int(np.sum(gt_lens)))
 
 
 def compute_d_score(outputs, targets) -> int:

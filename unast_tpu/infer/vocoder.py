@@ -104,6 +104,20 @@ def _vocode_batch(params, vstate, mel):
     return mag
 
 
+def save_vocoder_ckpt(params, vstate, path: str):
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, (params, vstate)), f)
+
+
+def load_vocoder_ckpt(path: str):
+    import pickle
+    with open(path, "rb") as f:
+        params, vstate = pickle.load(f)
+    return (jax.tree_util.tree_map(jnp.asarray, params),
+            jax.tree_util.tree_map(jnp.asarray, vstate))
+
+
 def make_mags(params, vstate, mels_dir: str, fnames, out_dir: Optional[str]
               = None, batch_size: int = 8, mel_len: int = 816):
     """Predicted-mel dumps -> .mag.npy per utterance (src/inf_vocoder.py:48-64)."""
@@ -123,3 +137,46 @@ def make_mags(params, vstate, mels_dir: str, fnames, out_dir: Optional[str]
         mags = np.asarray(_vocode_batch(params, vstate, jnp.asarray(mels)))
         for f, mag, ln in zip(chunk, mags, lens):
             np.save(os.path.join(out_dir, f + ".mag.npy"), mag[:ln])
+
+
+def main(argv=None):
+    """CLI: train the vocoder (default) or run make_mags with --infer.
+    Parity: src/train_vocoder.py:162-179 and src/inf_vocoder.py:66-75."""
+    import argparse
+    from ..train.config import parse_with_config
+    from ..data.dataset import LJSpeechDataset, SyntheticSpeechDataset
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--infer", action="store_true")
+    ap.add_argument("--vocoder_ckpt", default="vocoder.pkl")
+    known, rest = ap.parse_known_args(argv)
+    args = parse_with_config(rest)
+    if not hasattr(args, "hidden_size"):
+        args.hidden_size = args.hidden
+    if not hasattr(args, "n_fft"):
+        args.n_fft = 2048
+
+    if known.infer:
+        params, vstate = load_vocoder_ckpt(known.vocoder_ckpt)
+        mels_dir = os.path.join(args.out_test_dir, "mels")
+        fnames = sorted(f[:-3] for f in os.listdir(mels_dir)
+                        if f.endswith(".pt"))
+        make_mags(params, vstate, mels_dir, fnames,
+                  mel_len=args.data_mel_len)
+        print(f"wrote {len(fnames)} .mag.npy files to {mels_dir}")
+        return
+
+    if args.synthetic:
+        ds = SyntheticSpeechDataset(size=args.synthetic_size, seed=args.seed)
+    else:
+        splits_dir = args.splits_dir or os.path.join(args.data_path, "splits")
+        ds = LJSpeechDataset(os.path.join(splits_dir, "full_train.csv"),
+                             os.path.join(args.data_path, "mel_cache"),
+                             include_mag=True)
+    params, vstate, losses = train_vocoder(args, ds)
+    save_vocoder_ckpt(params, vstate, known.vocoder_ckpt)
+    print(f"final vocoder loss: {losses[-1]:.2f} -> {known.vocoder_ckpt}")
+
+
+if __name__ == "__main__":
+    main()

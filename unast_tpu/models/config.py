@@ -67,6 +67,13 @@ class ModelConfig:
     # tests). Params are always float32.
     compute_dtype: str = "float32"
 
+    # Attention implementation for the transformer's parallel paths:
+    # 'xla' (parity default, supports attention-weight dropout) or 'flash'
+    # (Pallas blocked online-softmax kernel, ops/attention.py; no
+    # attention-weight dropout). The KV-cached incremental decode always
+    # uses the XLA path (single-query GEMV).
+    attn_impl: str = "xla"
+
     @property
     def enc_out_dim(self) -> int:
         """Latent dim seen by decoders/discriminator: 2*hidden for the

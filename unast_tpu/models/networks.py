@@ -76,7 +76,8 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
         x = M.noise_fn(ctx, x, cfg.noise_mask_p)
     x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
     x = M.positional_encoding(ctx, x)
-    memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop)
+    memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
+                       cfg.e_drop, impl=cfg.attn_impl)
     return (memory, pad_mask), {"prenet": prenet_s}
 
 
@@ -91,7 +92,7 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.text_embed(p["prenet"], ctx, tgt_in, cfg)
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
-                  cfg.nhead, cfg.d_drop)
+                  cfg.nhead, cfg.d_drop, impl=cfg.attn_impl)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
 
@@ -157,7 +158,8 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
     x = M.noise_fn(ctx, mel, cfg.noise_mask_p) if noise_in else mel
     x = M.speech_prenet(p["prenet"], ctx, x, cfg)
     x = M.positional_encoding(ctx, x)
-    memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop)
+    memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
+                       cfg.e_drop, impl=cfg.attn_impl)
     return (memory, pad_mask), s
 
 
@@ -172,7 +174,7 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.speech_prenet(p["prenet"], ctx, tgt_in, cfg)
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
-                  cfg.nhead, cfg.d_drop)
+                  cfg.nhead, cfg.d_drop, impl=cfg.attn_impl)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
     return (pre, pre + resid, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}

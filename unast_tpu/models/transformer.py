@@ -67,12 +67,20 @@ def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float):
     return out.astype(v.dtype)
 
 
-def mha(p, ctx: nn.Ctx, q_in, kv_in, bias, nhead: int, dropout_p: float):
-    """Full (non-cached) attention. q_in: [B, Tq, D], kv_in: [B, Tk, D]."""
+def mha(p, ctx: nn.Ctx, q_in, kv_in, bias, nhead: int, dropout_p: float,
+        impl: str = "xla", kv_lens=None, causal: bool = False):
+    """Full (non-cached) attention. q_in: [B, Tq, D], kv_in: [B, Tk, D].
+    impl='flash' routes through the Pallas flash-attention kernel
+    (ops/attention.py) using (kv_lens, causal) instead of the additive bias;
+    attention-weight dropout is not applied on that path."""
     q = _split_heads(nn.linear(p["q"], q_in), nhead)
     k = _split_heads(nn.linear(p["k"], kv_in), nhead)
     v = _split_heads(nn.linear(p["v"], kv_in), nhead)
-    o = attention_core(q, k, v, bias, ctx, dropout_p)
+    if impl == "flash":
+        from ..ops import flash_attention
+        o = flash_attention(q, k, v, kv_lens, causal=causal)
+    else:
+        o = attention_core(q, k, v, bias, ctx, dropout_p)
     b, t, h, dh = o.shape
     return nn.linear(p["out"], o.reshape(b, t, h * dh))
 
@@ -114,8 +122,10 @@ def _ffn(p, ctx: nn.Ctx, x, dropout_p: float):
     return nn.linear(p["lin2"], h)
 
 
-def encoder_layer(p, ctx: nn.Ctx, x, bias, nhead: int, dropout_p: float):
-    a = mha(p["attn"], ctx, x, x, bias, nhead, dropout_p)
+def encoder_layer(p, ctx: nn.Ctx, x, bias, nhead: int, dropout_p: float,
+                  impl: str = "xla", kv_lens=None):
+    a = mha(p["attn"], ctx, x, x, bias, nhead, dropout_p,
+            impl=impl, kv_lens=kv_lens)
     x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
     f = _ffn(p, ctx, x, dropout_p)
     return nn.layernorm(p["ln2"], x + nn.dropout(ctx, f, dropout_p))
@@ -126,11 +136,14 @@ def encoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
     return {"layers": [encoder_layer_init(k, d_model, nhead, ffn_dim) for k in ks]}
 
 
-def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float):
+def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
+            impl: str = "xla"):
     """x: [B, T, D], pad_mask: bool [B, T] True=PAD."""
     bias = padding_bias(pad_mask)
+    kv_lens = jnp.sum(~pad_mask, axis=1) if impl == "flash" else None
     for lp in p["layers"]:
-        x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p)
+        x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p,
+                          impl=impl, kv_lens=kv_lens)
     return x
 
 
@@ -153,10 +166,13 @@ def decoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int):
 
 
 def decoder_layer(p, ctx: nn.Ctx, x, memory, self_bias, cross_bias,
-                  nhead: int, dropout_p: float):
-    a = mha(p["self"], ctx, x, x, self_bias, nhead, dropout_p)
+                  nhead: int, dropout_p: float, impl: str = "xla",
+                  tgt_lens=None, mem_lens=None):
+    a = mha(p["self"], ctx, x, x, self_bias, nhead, dropout_p,
+            impl=impl, kv_lens=tgt_lens, causal=True)
     x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
-    a = mha(p["cross"], ctx, x, memory, cross_bias, nhead, dropout_p)
+    a = mha(p["cross"], ctx, x, memory, cross_bias, nhead, dropout_p,
+            impl=impl, kv_lens=mem_lens)
     x = nn.layernorm(p["ln2"], x + nn.dropout(ctx, a, dropout_p))
     f = _ffn(p, ctx, x, dropout_p)
     return nn.layernorm(p["ln3"], x + nn.dropout(ctx, f, dropout_p))
@@ -168,14 +184,19 @@ def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
 
 
 def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
-            nhead: int, dropout_p: float):
+            nhead: int, dropout_p: float, impl: str = "xla"):
     """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D]."""
     t = x.shape[1]
     self_bias = causal_bias(t) + padding_bias(tgt_pad_mask)
     cross_bias = padding_bias(mem_pad_mask)
+    tgt_lens = mem_lens = None
+    if impl == "flash":
+        tgt_lens = jnp.sum(~tgt_pad_mask, axis=1)
+        mem_lens = jnp.sum(~mem_pad_mask, axis=1)
     for lp in p["layers"]:
         x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
-                          nhead, dropout_p)
+                          nhead, dropout_p, impl=impl,
+                          tgt_lens=tgt_lens, mem_lens=mem_lens)
     return x
 
 
@@ -212,22 +233,27 @@ def init_cache(p, memory, max_len: int, nhead: int) -> DecodeCache:
 def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
                  nhead: int, dropout_p: float):
     """One decode step. x: [B, 1, D] at position `pos` (traced scalar).
-    Attends over cache positions <= pos. Returns (y [B, 1, D], new_cache)."""
+    Attends over cache positions <= pos. Returns (y [B, 1, D], new_cache).
+
+    Cache updates are dynamic_update_slice into the stacked [L, ...] buffers
+    (static layer index, traced position) so XLA keeps them in-place inside
+    the surrounding while_loop — never a full-cache copy per step."""
     max_len = cache.self_k.shape[2]
     # Positions > pos are masked out (the cache there is stale zeros).
     pos_ids = jnp.arange(max_len)[None, None, None, :]
     self_bias = jnp.where(pos_ids <= pos, 0.0, NEG_INF).astype(jnp.float32)
 
-    new_sk, new_sv = [], []
+    self_k, self_v = cache.self_k, cache.self_v
+    zero = jnp.int32(0)
     for li, lp in enumerate(p["layers"]):
         q = _split_heads(nn.linear(lp["self"]["q"], x), nhead)
         k_t = _split_heads(nn.linear(lp["self"]["k"], x), nhead)
         v_t = _split_heads(nn.linear(lp["self"]["v"], x), nhead)
-        sk = jax.lax.dynamic_update_slice_in_dim(cache.self_k[li], k_t, pos, axis=1)
-        sv = jax.lax.dynamic_update_slice_in_dim(cache.self_v[li], v_t, pos, axis=1)
-        new_sk.append(sk)
-        new_sv.append(sv)
-        a = attention_core(q, sk, sv, self_bias, ctx, dropout_p)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_t[None], (jnp.int32(li), zero, pos, zero, zero))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_t[None], (jnp.int32(li), zero, pos, zero, zero))
+        a = attention_core(q, self_k[li], self_v[li], self_bias, ctx, dropout_p)
         b_, t_, h_, dh_ = a.shape
         a = nn.linear(lp["self"]["out"], a.reshape(b_, t_, h_ * dh_))
         x = nn.layernorm(lp["ln1"], x + nn.dropout(ctx, a, dropout_p))
@@ -241,6 +267,5 @@ def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
         f = _ffn(lp, ctx, x, dropout_p)
         x = nn.layernorm(lp["ln3"], x + nn.dropout(ctx, f, dropout_p))
 
-    new_cache = DecodeCache(jnp.stack(new_sk), jnp.stack(new_sv),
-                            cache.cross_k, cache.cross_v)
+    new_cache = DecodeCache(self_k, self_v, cache.cross_k, cache.cross_v)
     return x, new_cache

@@ -119,6 +119,14 @@ def train(args):
         writer.scalars(step_count, {"per": per}, prefix="eval/")
 
         save_ckp(epoch, per, ts, per < best, args.checkpoint_path, rng=step_rng)
+        if args.tb_log_path:
+            from .observe import log_example
+            try:
+                idx = int(np.random.randint(0, len(datasets["val"])))
+                log_example(writer, ts.params, ts.net_state, cfg,
+                            datasets["val"][idx], step_count, "eval")
+            except Exception as e:  # logging must never kill training
+                print(f"[observe] example logging failed: {e}")
         print("Eval_ epoch {:-3d} PER {:0.3f}%".format(epoch, per * 100))
         if per < best:
             print("\t Best score - saving model!")

@@ -49,6 +49,15 @@ class MetricsWriter:
         if self._tb:
             self._tb.add_text(tag, s, step)
 
+    def image(self, step: int, tag: str, img_hw: np.ndarray):
+        """2-D array as an HW image (mel/mag spectrograms)."""
+        if self._tb:
+            self._tb.add_image(tag, img_hw, step, dataformats="HW")
+
+    def figure(self, step: int, tag: str, fig):
+        if self._tb:
+            self._tb.add_figure(tag, fig, step)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()
@@ -90,6 +99,76 @@ def maybe_profile(profile_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def log_example(writer: MetricsWriter, params, net_state, cfg, ex,
+                step: int, name: str = "train"):
+    """Greedy ASR text + TTS mel images for one dataset item — parity with
+    log_tb_example (src/train.py:699-727)."""
+    import jax
+    import jax.numpy as jnp
+    from .. import nn
+    from ..models import unast as U
+    from ..text import sequence_to_text
+
+    mel = jnp.asarray(ex["mel"])[None]
+    ids = jnp.asarray(ex["ids"], jnp.int32)[None]
+    t_len = jnp.asarray([ids.shape[1]], jnp.int32)
+    m_len = jnp.asarray([mel.shape[1]], jnp.int32)
+    ectx = nn.Ctx.eval()
+    (text_pred, text_pred_len), _ = U.asr(params, net_state, ectx, cfg,
+                                          None, None, mel, m_len, infer=True)
+    (_, post, _, stop_lens), _ = U.tts(params, net_state, ectx, cfg,
+                                       ids, t_len, None, None, infer=True)
+    tp = np.asarray(text_pred[0][: int(text_pred_len[0])])
+    writer.text(step, f"{name}/text_gold",
+                sequence_to_text(np.asarray(ids[0]).tolist()))
+    writer.text(step, f"{name}/text_pred", sequence_to_text(tp.tolist()))
+    writer.image(step, f"{name}/speech_gold",
+                 np.flip(np.asarray(mel[0]).T, axis=0))
+    writer.image(step, f"{name}/speech_pred",
+                 np.flip(np.asarray(post[0][: int(stop_lens[0])]).T, axis=0))
+
+
+def log_discrim_out(writer: MetricsWriter, d_out, d_target, step: int,
+                    name: str = "train"):
+    """Discriminator prediction/target bar chart — parity with
+    log_tb_discrim_out (src/train.py:730-754). No-op without matplotlib."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    pred = 1.0 / (1.0 + np.exp(-np.asarray(d_out, np.float64)))
+    gold = np.asarray(d_target, np.float64)
+    batch = pred.shape[0]
+    fig, ax = plt.subplots(figsize=(max(2, batch // 2), 3))
+    ind = np.arange(batch)
+    ax.bar(ind, pred, 0.2, label="pred")
+    ax.bar(ind + 0.2, gold, 0.2, label="gold")
+    ax.set_xticks(ind + 0.1)
+    ax.legend()
+    fig.tight_layout()
+    writer.figure(step, f"{name}/discrim_output", fig)
+    plt.close(fig)
+
+
+def set_seed(seed: int):
+    """Seed numpy + python random (src/utils.py:85-98; JAX randomness is
+    explicit via PRNG keys, so there is no hidden device seed to set)."""
+    import random
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def compare_outputs(ground_truth, hypothesis, gt_len, hyp_len):
+    """Console print of decoded vs gold text (src/utils.py:36-38)."""
+    from ..text import sequence_to_text
+    print(f"Model prediction of length {hyp_len} ",
+          sequence_to_text(list(np.asarray(hypothesis)[:hyp_len])))
+    print(f"Ground Truth of length {gt_len} ",
+          sequence_to_text(list(np.asarray(ground_truth)[:gt_len])))
 
 
 class TeacherRatio:
