@@ -112,6 +112,11 @@ def bench_tts_infer():
 
     cfg = ModelConfig()  # full-size: d=256, 4 layers, 815-frame cap
     params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    # Force the stop head to never fire so the decode runs the FULL 815
+    # steps (an untrained stop head would fire immediately and make the
+    # measurement a 2-step no-op).
+    params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+        params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
     b, tt = 1, 64
     text = jnp.ones((b, tt), jnp.int32)
     text_len = jnp.full((b,), tt, jnp.int32)

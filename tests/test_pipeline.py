@@ -121,3 +121,19 @@ def test_graft_entry_single():
     fn, example_args = g.entry()
     out = jax.jit(fn)(*example_args)
     assert out.shape[-1] == 80
+
+
+def test_multihost_helpers_single_process():
+    from unast_tpu.parallel import make_mesh
+    from unast_tpu.parallel.multihost import (HostShardedDataset,
+                                              global_batch_from_local)
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    sharded = HostShardedDataset(ds)
+    assert len(sharded) == 8  # single process sees everything
+    mesh = make_mesh(dp=8, tp=1)
+    local = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    out = global_batch_from_local(mesh, local)
+    assert out["x"].shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(out["x"]), local["x"])

@@ -185,3 +185,18 @@ def test_train_step_runs_and_updates(model_type):
     s1 = jax.tree_util.tree_leaves(ts2.net_state)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(s0, s1))
+
+
+def test_bucketed_batching():
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    it = BatchIterator(ds, batch_size=2, text_len=304, mel_len=816, seed=0,
+                       text_buckets=[16, 32, 64, 304],
+                       mel_buckets=[64, 128, 816])
+    b = it.next_batch()
+    assert b["text"].shape[1] in (16, 32, 64, 304)
+    assert b["mel"].shape[1] in (64, 128, 816)
+    assert (b["text_len"] <= b["text"].shape[1]).all()
+    # stacked micro-batches share one (max) bucket
+    s = it.next_stacked(3)
+    assert s[0].shape[0] == 3 and s[1].shape[0] == 3
+    assert s[0].shape[2] in (16, 32, 64, 304)

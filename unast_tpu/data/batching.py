@@ -53,17 +53,26 @@ def as_tuple(batch):
 
 
 class BatchIterator:
-    """Infinite shuffled iterator with drop_last=True semantics."""
+    """Infinite shuffled iterator with drop_last=True semantics.
+
+    Optional bucketing (`text_buckets`/`mel_buckets`: ascending length
+    lists): each batch is padded to the smallest bucket covering its longest
+    item instead of the global max — XLA compiles one program per bucket
+    combination (a handful) and short batches stop paying full-length
+    attention/scan cost. `next_stacked` unifies all n micro-batches to the
+    largest bucket among them so the accumulated train step scans one shape."""
 
     def __init__(self, dataset, batch_size: int, text_len: int, mel_len: int,
                  seed: int = 0, include_mag: bool = False,
-                 n_mels: int = 80):
+                 n_mels: int = 80, text_buckets=None, mel_buckets=None):
         self.ds = dataset
         self.bs = batch_size
         self.text_len = text_len
         self.mel_len = mel_len
         self.include_mag = include_mag
         self.n_mels = n_mels
+        self.text_buckets = sorted(text_buckets) if text_buckets else None
+        self.mel_buckets = sorted(mel_buckets) if mel_buckets else None
         self._rng = np.random.default_rng(seed)
         self._order = None
         self._pos = 0
@@ -72,19 +81,47 @@ class BatchIterator:
         self._order = self._rng.permutation(len(self.ds))
         self._pos = 0
 
-    def next_batch(self):
+    @staticmethod
+    def _pick_bucket(buckets, need, cap):
+        for b in buckets:
+            if need <= b:
+                return min(b, cap)
+        return cap
+
+    def _next_items(self):
         if self._order is None or self._pos + self.bs > len(self._order):
             self._reshuffle()
         idx = self._order[self._pos:self._pos + self.bs]
         self._pos += self.bs
-        return collate([self.ds[int(i)] for i in idx], self.text_len,
-                       self.mel_len, n_mels=self.n_mels,
+        return [self.ds[int(i)] for i in idx]
+
+    def _shapes_for(self, items):
+        tl, ml = self.text_len, self.mel_len
+        if self.text_buckets:
+            need = max(len(it["ids"]) for it in items)
+            tl = self._pick_bucket(self.text_buckets, need, self.text_len)
+        if self.mel_buckets:
+            need = max(len(it["mel"]) for it in items)
+            ml = self._pick_bucket(self.mel_buckets, need, self.mel_len)
+        return tl, ml
+
+    def next_batch(self):
+        items = self._next_items()
+        tl, ml = self._shapes_for(items)
+        return collate(items, tl, ml, n_mels=self.n_mels,
                        include_mag=self.include_mag)
 
     def next_stacked(self, n: int):
         """Stack n micro-batches along a new leading axis — the layout the
-        jitted accumulated train step scans over."""
-        bs = [self.next_batch() for _ in range(n)]
+        jitted accumulated train step scans over. All micro-batches are
+        padded to the largest bucket among them."""
+        item_lists = [self._next_items() for _ in range(n)]
+        tl = ml = 0
+        for items in item_lists:
+            t_i, m_i = self._shapes_for(items)
+            tl, ml = max(tl, t_i), max(ml, m_i)
+        bs = [collate(items, tl, ml, n_mels=self.n_mels,
+                      include_mag=self.include_mag) for items in item_lists]
         return tuple(np.stack([as_tuple(b)[j] for b in bs]) for j in range(4))
 
 
@@ -96,7 +133,9 @@ class BatchGetter:
                  n_mels: int = 80):
         kw = dict(batch_size=args.train_batch_size,
                   text_len=args.data_text_len, mel_len=args.data_mel_len,
-                  n_mels=n_mels)
+                  n_mels=n_mels,
+                  text_buckets=getattr(args, "text_buckets", None),
+                  mel_buckets=getattr(args, "mel_buckets", None))
         self.supervised = BatchIterator(supervised_ds, seed=args.seed + 1, **kw)
         self.unsupervised = BatchIterator(unsupervised_ds, seed=args.seed + 2, **kw)
         self.full = BatchIterator(full_ds, seed=args.seed + 3, **kw)

@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="fixed padded mel frames for train batches")
     add("--data_text_len", type=int, default=304,
         help="fixed padded text length for train batches")
+    add("--text_buckets", type=json.loads, default=None,
+        help="ascending text-length buckets, e.g. [64,128,192,304]")
+    add("--mel_buckets", type=json.loads, default=None,
+        help="ascending mel-frame buckets, e.g. [256,512,816]")
     add("--cm_infer_mel_len", type=int, default=0,
         help="cap for pseudo-speech inference in cm steps (0 = max_mel_len)")
     add("--cm_infer_text_len", type=int, default=0,
