@@ -146,10 +146,15 @@ def bench_train_step():
     from unast_tpu.data.batching import BatchGetter
     from unast_tpu.data.dataset import SyntheticSpeechDataset
 
+    # Representative but tunnel-compilable shapes: the full 816/304 step
+    # with in-graph back-translation compiles for >35 min through the axon
+    # tunnel; 256-frame mels cover ~3.2 s utterances with the same program
+    # structure (all four objectives + discriminator, grads, while_loops).
     args = parse_with_config([
-        "--train_batch_size", "4", "--data_mel_len", "816",
-        "--data_text_len", "304", "--cm_infer_mel_len", "64",
-        "--cm_infer_text_len", "32", "--ae_steps", "4", "--cm_steps", "8",
+        "--train_batch_size", "4", "--data_mel_len", "256",
+        "--data_text_len", "128", "--max_mel_len", "256",
+        "--max_text_len", "128", "--cm_infer_mel_len", "32",
+        "--cm_infer_text_len", "16", "--ae_steps", "4", "--cm_steps", "8",
         "--sp_steps", "4", "--d_steps", "4", "--use_discriminator", "true"])
     cfg = model_config_from_args(args)
     ts = init_train_state(jax.random.PRNGKey(0), cfg, args)

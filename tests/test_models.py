@@ -341,3 +341,25 @@ def test_infer_jits(tr_model):
 def test_num_params(tr_model):
     cfg, params, _ = tr_model
     assert U.num_params(params) > 10000
+
+
+def test_bfloat16_compute_path(tr_model):
+    """tts/asr forward + greedy infer under compute_dtype=bfloat16: bf16
+    activations, finite f32 losses."""
+    cfg_f32, params, state = tr_model
+    cfg = cfg_f32.replace(compute_dtype="bfloat16")
+    ids, t_lens = _text_batch(cfg)
+    mel, m_lens = _mel_batch(cfg)
+    ctx = nn.Ctx(rng=jax.random.PRNGKey(3), train=True)
+    (pre, post, stop, _), _ = U.tts(params, state, ctx, cfg, ids, t_lens,
+                                    mel, m_lens)
+    assert pre.dtype == jnp.bfloat16
+    from unast_tpu.train import losses as L
+    gold_stop = L.stop_label_from_lens(m_lens, mel.shape[1])
+    loss = L.speech_loss(mel, gold_stop, pre, post, m_lens, stop, 5.0)
+    assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
+    (pre_i, post_i, stops_i, stop_lens), _ = U.tts(
+        params, state, nn.Ctx.eval(), cfg, ids, t_lens, mel, m_lens,
+        infer=True)
+    assert pre_i.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(pre_i, np.float32)).all()

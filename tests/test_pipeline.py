@@ -137,3 +137,21 @@ def test_multihost_helpers_single_process():
     out = global_batch_from_local(mesh, local)
     assert out["x"].shape == (8, 4)
     np.testing.assert_allclose(np.asarray(out["x"]), local["x"])
+
+
+def test_synthesize_text_end_to_end():
+    """text -> phonemes -> greedy TTS -> mel lift -> Griffin-Lim -> wav,
+    one call, no vocoder checkpoint needed."""
+    from unast_tpu.models import TINY, unast as U
+    from unast_tpu.infer.synthesize import synthesize_text
+    from unast_tpu.audio.params import AudioParams
+
+    params, state = U.unast_init(jax.random.PRNGKey(0), TINY)
+    # force full-length decode so there is audio to synthesize
+    params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+        params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+    p = AudioParams(n_fft=2048, n_iter=2)
+    wav = synthesize_text(params, state, TINY, "hello world",
+                          audio_params=p)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.isfinite(wav).all()

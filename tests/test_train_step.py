@@ -200,3 +200,32 @@ def test_bucketed_batching():
     s = it.next_stacked(3)
     assert s[0].shape[0] == 3 and s[1].shape[0] == 3
     assert s[0].shape[2] in (16, 32, 64, 304)
+
+
+def test_ae_grads_bf16():
+    """value_and_grad through the bf16 activation path (convs, BN, attention)
+    produces finite f32 grads."""
+    argv = ["--config", "configs/transformer_test.json",
+            "--sched_type", "multistep", "--compute_dtype", "bfloat16"]
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    assert cfg.dtype == jnp.bfloat16
+    from unast_tpu.models import unast as U
+    from unast_tpu.train.steps import ae_loss_fn
+    params, net_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    ds = SyntheticSpeechDataset(size=4, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, tuple(np.asarray(x[0]) for x in
+                           bg.step_batches(args, False)["ae"]))
+
+    def loss(p):
+        l, _ = ae_loss_fn(p, net_state, jax.random.PRNGKey(1), batch,
+                          cfg, args, 1.0)
+        return l
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)

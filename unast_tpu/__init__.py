@@ -1,22 +1,46 @@
 """unast_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the
 capabilities of the UNAST reference (unsupervised adversarial speech<->text).
 
-Layer map (mirrors reference SURVEY.md §1, redesigned TPU-first):
+Layer map (mirrors SURVEY.md §1, redesigned TPU-first):
 
   unast_tpu.text      — L0 text frontend (symbols, cleaners, numbers, G2P)
-  unast_tpu.audio     — L1 audio DSP (STFT/mel as XLA+Pallas, Griffin-Lim scan)
+  unast_tpu.audio     — L1 audio DSP (jitted STFT/mel, Griffin-Lim loop)
   unast_tpu.data      — L1 datasets, bucketed fixed-shape batching
-  unast_tpu.models    — L2/L3 flax modules + UNAST facade with KV-cached decode
-  unast_tpu.train     — L4 losses, augmentation, jitted multi-objective steps,
+  unast_tpu.nn        — functional NN core (init/apply pairs over pytrees)
+  unast_tpu.models    — L2/L3 networks + UNAST facade with KV-cached decode
+  unast_tpu.ops       — Pallas TPU kernels (flash attention)
+  unast_tpu.train     — L4 losses, augmentation, jitted multi-objective step,
                         schedules, checkpointing, metrics, training loop
-  unast_tpu.infer     — L4/L5 eval harness, vocoder inference, Griffin-Lim CLI
-  unast_tpu.parallel  — device mesh + sharding rules (dp x tp) over ICI
-  unast_tpu.utils     — config system, misc
-  unast_tpu.runtime   — native (C++) runtime helpers (edit distance, wav IO)
+  unast_tpu.infer     — L4/L5 eval harness, vocoder, Griffin-Lim/synthesis CLI
+  unast_tpu.parallel  — device mesh + GSPMD sharding (dp x tp) over ICI
+  unast_tpu.native    — C++ runtime via ctypes (metrics, wav IO, collation)
 """
+
+import os as _os
 
 __version__ = "0.1.0"
 
 PAD_IDX = 0
 SOS_IDX = 1
 EOS_IDX = 2
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the decode/train-step programs take
+    minutes to compile (single-core host); caching makes repeated CLI/bench
+    runs start hot. Disable with UNAST_NO_COMP_CACHE=1."""
+    if _os.environ.get("UNAST_NO_COMP_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/unast_tpu_xla"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

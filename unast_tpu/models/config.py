@@ -75,6 +75,14 @@ class ModelConfig:
     attn_impl: str = "xla"
 
     @property
+    def dtype(self):
+        """Activation dtype. Params stay float32; nn.* apply fns cast
+        weights to the activation dtype, and losses/softmax/norms accumulate
+        in float32 regardless."""
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
     def enc_out_dim(self) -> int:
         """Latent dim seen by decoders/discriminator: 2*hidden for the
         bidirectional RNN encoder, hidden otherwise (src/train.py:922-924)."""

@@ -38,7 +38,7 @@ def causal_mask(t: int):
 
 def noise_fn(ctx: nn.Ctx, x, mask_p: float = 0.3):
     """DAE input noising: Bernoulli time-step zero-masking
-    (reference noise_fn, src/utils.py:40-49). x: [B, T, D]."""
+    (reference noise_fn, src/utils.py:40-49). x: [B, T, D] of any dtype."""
     if not ctx.train or mask_p == 0.0:
         return x
     keep = jax.random.bernoulli(ctx.next_rng(), 1.0 - mask_p, x.shape[:2])
@@ -87,6 +87,7 @@ def speech_prenet_init(key, cfg: ModelConfig):
 
 
 def speech_prenet(p, ctx: nn.Ctx, x, cfg: ModelConfig):
+    x = x.astype(cfg.dtype)  # bf16 activation entry point for speech paths
     x = nn.dropout(ctx, jax.nn.relu(nn.linear(p["fc1"], x)), cfg.s_pre_drop)
     x = nn.dropout(ctx, jax.nn.relu(nn.linear(p["fc2"], x)), cfg.s_pre_drop)
     return x
@@ -162,8 +163,10 @@ def text_prenet_init(key, cfg: ModelConfig):
 
 
 def text_embed(p, ctx: nn.Ctx, ids, cfg: ModelConfig):
-    """ids -> dropped-out embeddings (the reference's emb_dropout half)."""
-    return nn.dropout(ctx, nn.embedding(p["embed"], ids), cfg.t_pre_drop)
+    """ids -> dropped-out embeddings (the reference's emb_dropout half).
+    Casts to cfg.dtype — the bf16 activation entry point for text paths."""
+    emb = nn.embedding(p["embed"], ids).astype(cfg.dtype)
+    return nn.dropout(ctx, emb, cfg.t_pre_drop)
 
 
 def text_prenet_convs(p, s, ctx: nn.Ctx, x, cfg: ModelConfig, causal=False):

@@ -236,8 +236,10 @@ def vocoder_init(key, cfg: ModelConfig, n_fft: int = 2048):
     return params, {"cbhg": cbhg_s}
 
 
-def vocoder(p, s, ctx: nn.Ctx, mel):
+def vocoder(p, s, ctx: nn.Ctx, mel, dtype=None):
     """mel [B, T, num_mels] -> mag [B, T, n_fft//2+1]. Returns (mag, state)."""
+    if dtype is not None:
+        mel = mel.astype(dtype)
     x = nn.conv1d(p["pre"], mel, padding=(0, 0))
     x, cbhg_s = M.cbhg(p["cbhg"], s["cbhg"], ctx, x)
     return nn.conv1d(p["post"], x, padding=(0, 0)), {"cbhg": cbhg_s}

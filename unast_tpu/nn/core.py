@@ -134,11 +134,12 @@ def conv1d(p, x, padding):
     (left, right) tuple — (k-1, 0) gives a strictly causal conv."""
     if isinstance(padding, int):
         padding = (padding, padding)
+    # Same-dtype in/out keeps the VJP transpose rule happy under bf16; the
+    # MXU still accumulates partial products in f32 internally.
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype), window_strides=(1,), padding=[padding],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -15,7 +15,8 @@ Kernel design:
     are applied as -1e9 additive biases inside the kernel.
   - backward: standard recompute-based flash VJP expressed in jnp (score
     matrices at these sizes, <=1k x 1k per head, fit comfortably; XLA fuses
-    it well) wired through jax.custom_vjp with (out, lse) residuals.
+    it well) wired through jax.custom_vjp; logsumexp is recomputed in the
+    backward so the kernel emits only the attention output.
 """
 
 import functools
