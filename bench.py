@@ -138,6 +138,40 @@ def bench_tts_infer():
             "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
 
 
+def bench_asr_infer():
+    """Greedy mel->text decode (BASELINE.json config #4): full 300-step
+    KV-cached text decode over an 815-frame utterance encoding."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig, EOS_IDX
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig()
+    params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    # Suppress EOS so the decode runs the full 300 steps.
+    params["text_m"]["postnet"]["fc"]["b"] = (
+        params["text_m"]["postnet"]["fc"]["b"].at[EOS_IDX].add(-100.0))
+    b, tm = 1, 815
+    mel = jnp.zeros((b, tm, cfg.num_mels), jnp.float32)
+    mel_len = jnp.full((b,), tm, jnp.int32)
+
+    @jax.jit
+    def infer(params, state, mel, mel_len):
+        (ids, stop_lens), _ = U.asr(params, state, nn.Ctx.eval(), cfg,
+                                    None, None, mel, mel_len, infer=True)
+        return ids, stop_lens
+
+    dt = _time(lambda: int(infer(params, state, mel, mel_len)[0][0, 0]),
+               iters=3, warmup=2)
+    audio_s = tm * P.hop_length / P.sr
+    rtf = dt / audio_s
+    return {"metric": "asr_greedy_rtf", "value": round(rtf, 4),
+            "unit": "x realtime (300-token cap)",
+            "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
+
+
 def bench_train_step():
     import jax
     import jax.numpy as jnp
@@ -175,15 +209,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
-                    choices=["wav_to_mel", "griffin_lim", "tts", "train"])
+                    choices=["wav_to_mel", "griffin_lim", "tts", "asr",
+                             "train"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
-                   bench_train_step):
+                   bench_asr_infer, bench_train_step):
             print(json.dumps(fn()))
         return
     fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,
-          "tts": bench_tts_infer, "train": bench_train_step}[args.which]
+          "tts": bench_tts_infer, "asr": bench_asr_infer,
+          "train": bench_train_step}[args.which]
     print(json.dumps(fn()))
 
 

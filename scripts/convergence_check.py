@@ -1,0 +1,113 @@
+"""Learnability check: train the (small) UNAST model on the synthetic corpus
+and report whether the objective losses and PER improve.
+
+Run:  python scripts/convergence_check.py [--steps 60] [--model_type transformer]
+
+This is the automated analogue of the reference's 'watch the PER per epoch'
+methodology (SURVEY.md §4.5): single-modality AE losses must drop sharply and
+ASR PER must fall below the untrained baseline within ~60 outer steps.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unast_tpu.train.config import parse_with_config, model_config_from_args
+from unast_tpu.train.steps import init_train_state, make_train_step
+from unast_tpu.data.batching import BatchGetter, BatchIterator
+from unast_tpu.data.dataset import SyntheticSpeechDataset
+from unast_tpu.infer.metrics import compute_per
+from unast_tpu.models import unast as U
+from unast_tpu import nn
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--model_type", default="transformer")
+    ap.add_argument("--report", default=None, help="write JSON report here")
+    known = ap.parse_args(argv)
+
+    args = parse_with_config([
+        "--model_type", known.model_type,
+        "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
+        "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
+        "--nhead", "2", "--use_discriminator", "true", "--disc_hid", "16",
+        "--disc_num_layers", "1", "--max_mel_len", "64", "--max_text_len",
+        "32", "--data_mel_len", "64", "--data_text_len", "32",
+        "--cm_infer_mel_len", "16", "--cm_infer_text_len", "8",
+        "--ae_steps", "2", "--cm_steps", "1", "--sp_steps", "2",
+        "--d_steps", "1", "--train_batch_size", "8",
+        "--sched_type", "multistep", "--lr", "1e-3",
+        "--optim_type", "adamw", "--compute_dtype", "bfloat16"])
+    cfg = model_config_from_args(args)
+
+    ds = SyntheticSpeechDataset(size=32, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
+
+    def measure_per(ts):
+        it = BatchIterator(ds, 8, args.data_text_len, args.data_mel_len, seed=9)
+        b = it.next_batch()
+        (ids, lens), _ = U.asr(ts.params, ts.net_state, nn.Ctx.eval(), cfg,
+                               None, None, jnp.asarray(b["mel"]),
+                               jnp.asarray(b["mel_len"]), infer=True)
+        return compute_per(b["text"], np.asarray(ids), b["text_len"],
+                           np.asarray(lens))
+
+    per0 = measure_per(ts)
+    print(f"untrained PER: {per0:.3f}")
+    rng = jax.random.PRNGKey(17)
+    first, last = None, None
+    t0 = time.time()
+    for s in range(known.steps):
+        batches = jax.tree_util.tree_map(
+            jnp.asarray, bg.step_batches(args, True))
+        ts, m = step(ts, jax.random.fold_in(rng, s), batches)
+        host = {k: float(v) for k, v in m.items()}
+        if first is None:
+            first = host
+        last = host
+        if (s + 1) % 10 == 0:
+            print(f"step {s + 1}: t_ae {host['ae/t_ae']:.3f} "
+                  f"s_ae {host['ae/s_ae']:.3f} asr {host['sp/asr']:.3f} "
+                  f"tts {host['sp/tts']:.3f}")
+    dt = time.time() - t0
+    per1 = measure_per(ts)
+    print(f"trained PER: {per1:.3f}  ({known.steps} steps in {dt:.1f}s, "
+          f"{known.steps / dt:.2f} steps/s)")
+
+    report = {
+        "steps": known.steps, "seconds": dt,
+        "per_untrained": per0, "per_trained": per1,
+        "losses_first": first, "losses_last": last,
+    }
+    checks = {
+        "t_ae_improved": last["ae/t_ae"] < first["ae/t_ae"],
+        "s_ae_improved": last["ae/s_ae"] < first["ae/s_ae"],
+        "asr_improved": last["sp/asr"] < first["sp/asr"],
+        "tts_improved": last["sp/tts"] < first["sp/tts"],
+        "per_improved_or_equal": per1 <= per0 + 0.02,
+    }
+    report["checks"] = checks
+    print(json.dumps(checks))
+    if known.report:
+        with open(known.report, "w") as f:
+            json.dump(report, f, indent=2)
+    if not all(checks.values()):
+        print("CONVERGENCE CHECK FAILED", file=sys.stderr)
+        sys.exit(1)
+    print("CONVERGENCE CHECK PASSED")
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,39 @@ def test_ae_grads_bf16():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_schedules_match_torch_lambdalr():
+    """The three LR schedules reproduce the reference lr_lambda curves
+    (src/train.py:858-907 + MultiStepLR)."""
+    import torch
+    from unast_tpu.train.optim import (multistep_schedule,
+                                       linear_warmup_decay_schedule,
+                                       transformer_schedule)
+
+    lr = 0.0625
+    # transformer (inverse-sqrt with warmup^1.5 scaling)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    lam = lambda step: (step / max(1.0, 2000.0 ** 1.5) if step < 2000
+                        else 1.0 / max(1.0, float(step) ** 0.5))
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lam)
+    mine = transformer_schedule(lr, 2000)
+    for step in (0, 1, 100, 1999, 2000, 5000, 100000):
+        sched.last_epoch = step - 1
+        sched.step()
+        np.testing.assert_allclose(float(mine(step)),
+                                   opt.param_groups[0]["lr"], rtol=1e-6)
+
+    # linear warmup->decay
+    mine = linear_warmup_decay_schedule(lr, 100, 1000)
+    assert float(mine(0)) == 0.0
+    np.testing.assert_allclose(float(mine(50)), lr * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(mine(100)), lr, rtol=1e-6)
+    np.testing.assert_allclose(float(mine(550)), lr * 0.5, rtol=1e-6)
+    assert float(mine(1000)) == 0.0
+
+    # multistep
+    mine = multistep_schedule(lr, [100, 200], 0.1)
+    np.testing.assert_allclose(float(mine(0)), lr)
+    np.testing.assert_allclose(float(mine(150)), lr * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(mine(250)), lr * 0.01, rtol=1e-6)
