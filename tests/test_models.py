@@ -363,3 +363,27 @@ def test_bfloat16_compute_path(tr_model):
         infer=True)
     assert pre_i.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(pre_i, np.float32)).all()
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True produces identical outputs to the unrolled stack
+    (eval mode), including the KV-cached incremental decode."""
+    cfg_u = TINY
+    cfg_s = TINY.replace(scan_layers=True)
+    params, state = U.unast_init(jax.random.PRNGKey(2), cfg_u)
+    ids, t_lens = _text_batch(cfg_u)
+    mel, m_lens = _mel_batch(cfg_u)
+    ectx = nn.Ctx.eval()
+    (enc_u, _), _ = N.text_encode(params["text_m"], state["text_m"], ectx,
+                                  cfg_u, ids, t_lens)
+    (enc_s, _), _ = N.text_encode(params["text_m"], state["text_m"], ectx,
+                                  cfg_s, ids, t_lens)
+    np.testing.assert_allclose(np.asarray(enc_u), np.asarray(enc_s),
+                               atol=1e-5, rtol=1e-5)
+    out_u, _ = U.tts(params, state, ectx, cfg_u, ids, t_lens, mel, m_lens,
+                     infer=True)
+    out_s, _ = U.tts(params, state, ectx, cfg_s, ids, t_lens, mel, m_lens,
+                     infer=True)
+    np.testing.assert_allclose(np.asarray(out_u[0]), np.asarray(out_s[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_u[3]), np.asarray(out_s[3]))

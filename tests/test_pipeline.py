@@ -155,3 +155,21 @@ def test_synthesize_text_end_to_end():
                           audio_params=p)
     assert wav.ndim == 1 and len(wav) > 0
     assert np.isfinite(wav).all()
+
+
+def test_serving_api():
+    from unast_tpu.models import TINY, unast as U
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.audio.params import AudioParams
+
+    params, state = U.unast_init(jax.random.PRNGKey(0), TINY)
+    syn = Synthesizer(params, state, TINY,
+                      audio_params=AudioParams(n_iter=2),
+                      text_buckets=(8, 16), mel_buckets=(16, 24),
+                      max_batch=2)
+    mels = syn.tts_mels(["hi there", "ok"])
+    assert len(mels) == 2
+    for m in mels:
+        assert m.ndim == 2 and m.shape[1] == TINY.num_mels
+    texts = syn.asr([np.sin(np.arange(4000) / 20).astype(np.float32) * 0.4])
+    assert len(texts) == 1 and isinstance(texts[0], str)

@@ -1,0 +1,157 @@
+"""Batch serving API: warm-compiled TTS and ASR endpoints.
+
+The reference exposes inference only through the eval/test dump scripts; for
+production serving this provides a stable object API:
+
+    syn = Synthesizer.from_checkpoint(ckpt_dir, args)   # or (params, state)
+    wavs = syn.tts(["hello world", ...])                 # list of np wavs
+    texts = syn.asr([wav1, wav2])                        # list of id lists
+
+Design: requests are padded into fixed text/mel buckets so each bucket
+compiles once (then served hot); greedy decode runs the KV-cached
+while_loop; Griffin-Lim vocoding (via the CBHG vocoder if provided, else
+the mel pseudo-inverse lift) runs on device.
+"""
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import nn
+from ..audio import dsp
+from ..audio.params import DEFAULT as AUDIO_DEFAULT
+from ..models import unast as U
+from ..models.config import ModelConfig
+from ..text import raw_text_to_phoneme_ids, sequence_to_text
+
+
+class Synthesizer:
+    """Warm-compiled batched text->wav / mel->text endpoints."""
+
+    def __init__(self, params, net_state, cfg: ModelConfig,
+                 vocoder_pv=None, audio_params=AUDIO_DEFAULT,
+                 text_buckets: Sequence[int] = (32, 64, 128, 304),
+                 mel_buckets: Sequence[int] = (256, 512, 816),
+                 max_batch: int = 8):
+        self.params = params
+        self.net_state = net_state
+        self.cfg = cfg
+        self.vocoder_pv = vocoder_pv
+        self.audio_params = audio_params
+        self.text_buckets = sorted(b for b in text_buckets
+                                   if b <= cfg.max_text_len) or [cfg.max_text_len]
+        self.mel_buckets = sorted(b for b in mel_buckets
+                                  if b <= cfg.max_mel_len) or [cfg.max_mel_len]
+        self.max_batch = max_batch
+        self._tts_fn = jax.jit(self._tts_impl, static_argnums=())
+        self._asr_fn = jax.jit(self._asr_impl, static_argnums=())
+        self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, args, **kw):
+        from ..train.config import model_config_from_args
+        from ..train.steps import init_train_state
+        from ..train.checkpoint import load_ckp
+        cfg = model_config_from_args(args)
+        template = init_train_state(jax.random.PRNGKey(0), cfg, args)
+        _, _, ts, _ = load_ckp(ckpt_path, template)
+        return cls(ts.params, ts.net_state, cfg, **kw)
+
+    # -- device fns (jitted once per input shape = per bucket) --------------
+
+    def _tts_impl(self, params, net_state, ids, lens):
+        (pre, post, stop, stop_lens), _ = U.tts(
+            params, net_state, nn.Ctx.eval(), self.cfg, ids, lens,
+            None, None, infer=True)
+        return post, stop_lens
+
+    def _asr_impl(self, params, net_state, mel, mel_len):
+        (ids, stop_lens), _ = U.asr(params, net_state, nn.Ctx.eval(),
+                                    self.cfg, None, None, mel, mel_len,
+                                    infer=True)
+        return ids, stop_lens
+
+    # -- public API ----------------------------------------------------------
+
+    def _bucket(self, buckets, need):
+        for b in buckets:
+            if need <= b:
+                return b
+        return buckets[-1]
+
+    def tts_mels(self, texts: List[str]):
+        """texts -> list of (mel [T, n_mels] np.float32)."""
+        out = []
+        for start in range(0, len(texts), self.max_batch):
+            chunk = texts[start:start + self.max_batch]
+            seqs = [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
+                    for t in chunk]
+            tl = self._bucket(self.text_buckets, max(len(s) for s in seqs))
+            ids = np.zeros((len(seqs), tl), np.int32)
+            lens = np.zeros((len(seqs),), np.int32)
+            for i, s in enumerate(seqs):
+                s = s[:tl]
+                ids[i, :len(s)] = s
+                lens[i] = len(s)
+            post, stop_lens = self._tts_fn(self.params, self.net_state,
+                                           jnp.asarray(ids), jnp.asarray(lens))
+            post = np.asarray(post, np.float32)
+            stop_lens = np.asarray(stop_lens)
+            out.extend(post[i, : stop_lens[i]] for i in range(len(seqs)))
+        return out
+
+    def tts(self, texts: List[str]):
+        """texts -> list of waveforms (np.float32)."""
+        wavs = []
+        for mel in self.tts_mels(texts):
+            if self.vocoder_pv is not None:
+                vp, vs = self.vocoder_pv
+                mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), jnp.asarray(mel)[None])
+                mag = np.asarray(mag[0], np.float32)
+            else:
+                mag = np.clip(np.asarray(mel) @ np.asarray(self._lift),
+                              1e-8, 1.0)
+            wavs.append(dsp.mag_to_wav(mag, self.audio_params))
+        return wavs
+
+    def asr_ids(self, mels: List[np.ndarray]):
+        """mels (list of [T, n_mels]) -> list of phoneme-id np arrays."""
+        out = []
+        for start in range(0, len(mels), self.max_batch):
+            chunk = mels[start:start + self.max_batch]
+            ml = self._bucket(self.mel_buckets, max(len(m) for m in chunk))
+            mel = np.zeros((len(chunk), ml, self.cfg.num_mels), np.float32)
+            lens = np.zeros((len(chunk),), np.int32)
+            for i, m in enumerate(chunk):
+                m = m[:ml]
+                mel[i, :len(m)] = m
+                lens[i] = len(m)
+            ids, stop_lens = self._asr_fn(self.params, self.net_state,
+                                          jnp.asarray(mel), jnp.asarray(lens))
+            ids = np.asarray(ids)
+            stop_lens = np.asarray(stop_lens)
+            out.extend(ids[i, : stop_lens[i]] for i in range(len(chunk)))
+        return out
+
+    def asr(self, wavs: List[np.ndarray]):
+        """waveforms -> decoded text strings (via the shared DSP + codec)."""
+        mels = []
+        for wav in wavs:
+            mel, _, n = dsp.wav_to_mel_mag(np.asarray(wav, np.float32),
+                                           self.audio_params)
+            mels.append(np.asarray(mel[:n], np.float32))
+        return [sequence_to_text(ids.tolist()) for ids in self.asr_ids(mels)]
+
+    def warmup(self):
+        """Pre-compile every bucket (one dummy request per bucket)."""
+        for tb in self.text_buckets:
+            ids = jnp.ones((1, tb), jnp.int32)
+            self._tts_fn(self.params, self.net_state, ids,
+                         jnp.asarray([tb], jnp.int32))
+        for mb in self.mel_buckets:
+            mel = jnp.zeros((1, mb, self.cfg.num_mels), jnp.float32)
+            self._asr_fn(self.params, self.net_state, mel,
+                         jnp.asarray([mb], jnp.int32))

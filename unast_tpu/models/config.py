@@ -74,6 +74,12 @@ class ModelConfig:
     # uses the XLA path (single-query GEMV).
     attn_impl: str = "xla"
 
+    # Run transformer layer stacks as lax.scan over stacked layer params:
+    # ONE layer body in the compiled program instead of num_layers inlined
+    # copies — a large XLA compile-time win for the full training graph
+    # (identical math; per-layer dropout rng folded from the layer index).
+    scan_layers: bool = False
+
     @property
     def dtype(self):
         """Activation dtype. Params stay float32; nn.* apply fns cast

@@ -77,7 +77,8 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
     x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
     x = M.positional_encoding(ctx, x)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
-                       cfg.e_drop, impl=cfg.attn_impl)
+                       cfg.e_drop, impl=cfg.attn_impl,
+                       scan_layers=cfg.scan_layers)
     return (memory, pad_mask), {"prenet": prenet_s}
 
 
@@ -92,7 +93,8 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.text_embed(p["prenet"], ctx, tgt_in, cfg)
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
-                  cfg.nhead, cfg.d_drop, impl=cfg.attn_impl)
+                  cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
+                  scan_layers=cfg.scan_layers)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
 
@@ -118,7 +120,8 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
         x = M.text_embed(p["prenet"], ctx_i, cur, cfg)
         x = M.positional_encoding(ctx_i, x, offset=i)
         h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
-                                  cfg.nhead, cfg.d_drop)
+                                  cfg.nhead, cfg.d_drop,
+                                  scan_layers=cfg.scan_layers)
         logits = M.text_postnet(p["postnet"], ctx_i, h, cfg)
         choice = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice_in_dim(
@@ -159,7 +162,8 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
     x = M.speech_prenet(p["prenet"], ctx, x, cfg)
     x = M.positional_encoding(ctx, x)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
-                       cfg.e_drop, impl=cfg.attn_impl)
+                       cfg.e_drop, impl=cfg.attn_impl,
+                       scan_layers=cfg.scan_layers)
     return (memory, pad_mask), s
 
 
@@ -174,7 +178,8 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.speech_prenet(p["prenet"], ctx, tgt_in, cfg)
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
-                  cfg.nhead, cfg.d_drop, impl=cfg.attn_impl)
+                  cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
+                  scan_layers=cfg.scan_layers)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
     return (pre, pre + resid, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
@@ -205,7 +210,8 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
         x = M.speech_prenet(p["prenet"], ctx_i, cur, cfg)
         x = M.positional_encoding(ctx_i, x, offset=i)
         h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
-                                  cfg.nhead, cfg.d_drop)
+                                  cfg.nhead, cfg.d_drop,
+                                  scan_layers=cfg.scan_layers)
         mel_t, stop_t = M.speech_mel_and_stop(p["postnet"], h)
         frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
         stops = jax.lax.dynamic_update_slice_in_dim(

@@ -136,14 +136,42 @@ def encoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
     return {"layers": [encoder_layer_init(k, d_model, nhead, ffn_dim) for k in ks]}
 
 
+def _stack_layers(layers):
+    """List of per-layer param dicts -> one dict with leading [L] axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _layer_ctx(ctx: nn.Ctx, li):
+    if ctx.rng is None:
+        return nn.Ctx(rng=None, train=ctx.train)
+    return nn.Ctx(rng=jax.random.fold_in(ctx.rng, li), train=ctx.train)
+
+
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
-            impl: str = "xla"):
-    """x: [B, T, D], pad_mask: bool [B, T] True=PAD."""
+            impl: str = "xla", scan_layers: bool = False):
+    """x: [B, T, D], pad_mask: bool [B, T] True=PAD.
+
+    scan_layers=True runs the stack as a lax.scan over stacked layer params:
+    the compiled program contains ONE layer body instead of L inlined copies
+    — a large XLA compile-time win for the full training graph."""
     bias = padding_bias(pad_mask)
     kv_lens = jnp.sum(~pad_mask, axis=1) if impl == "flash" else None
-    for lp in p["layers"]:
-        x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p,
-                          impl=impl, kv_lens=kv_lens)
+    if not scan_layers:
+        for lp in p["layers"]:
+            x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p,
+                              impl=impl, kv_lens=kv_lens)
+        return x
+
+    stacked = _stack_layers(p["layers"])
+    n = len(p["layers"])
+
+    def body(x, xs):
+        lp, li = xs
+        y = encoder_layer(lp, _layer_ctx(ctx, li), x, bias, nhead,
+                          dropout_p, impl=impl, kv_lens=kv_lens)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     return x
 
 
@@ -184,7 +212,8 @@ def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
 
 
 def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
-            nhead: int, dropout_p: float, impl: str = "xla"):
+            nhead: int, dropout_p: float, impl: str = "xla",
+            scan_layers: bool = False):
     """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D]."""
     t = x.shape[1]
     self_bias = causal_bias(t) + padding_bias(tgt_pad_mask)
@@ -193,10 +222,24 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
     if impl == "flash":
         tgt_lens = jnp.sum(~tgt_pad_mask, axis=1)
         mem_lens = jnp.sum(~mem_pad_mask, axis=1)
-    for lp in p["layers"]:
-        x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
-                          nhead, dropout_p, impl=impl,
+    if not scan_layers:
+        for lp in p["layers"]:
+            x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
+                              nhead, dropout_p, impl=impl,
+                              tgt_lens=tgt_lens, mem_lens=mem_lens)
+        return x
+
+    stacked = _stack_layers(p["layers"])
+    n = len(p["layers"])
+
+    def body(x, xs):
+        lp, li = xs
+        y = decoder_layer(lp, _layer_ctx(ctx, li), x, memory, self_bias,
+                          cross_bias, nhead, dropout_p, impl=impl,
                           tgt_lens=tgt_lens, mem_lens=mem_lens)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     return x
 
 
@@ -230,19 +273,62 @@ def init_cache(p, memory, max_len: int, nhead: int) -> DecodeCache:
     return DecodeCache(zeros, zeros, cross_k, cross_v)
 
 
+def _decoder_step_layer(lp, ctx: nn.Ctx, x, pos, sk, sv, ck, cv, self_bias,
+                        mem_bias, nhead: int, dropout_p: float):
+    """One layer of one decode step. sk/sv: [B, max_len, H, Dh] self caches
+    for THIS layer; ck/cv: precomputed cross K/V. Returns (x, sk, sv)."""
+    q = _split_heads(nn.linear(lp["self"]["q"], x), nhead)
+    k_t = _split_heads(nn.linear(lp["self"]["k"], x), nhead)
+    v_t = _split_heads(nn.linear(lp["self"]["v"], x), nhead)
+    sk = jax.lax.dynamic_update_slice_in_dim(sk, k_t, pos, axis=1)
+    sv = jax.lax.dynamic_update_slice_in_dim(sv, v_t, pos, axis=1)
+    a = attention_core(q, sk, sv, self_bias, ctx, dropout_p)
+    b_, t_, h_, dh_ = a.shape
+    a = nn.linear(lp["self"]["out"], a.reshape(b_, t_, h_ * dh_))
+    x = nn.layernorm(lp["ln1"], x + nn.dropout(ctx, a, dropout_p))
+
+    q = _split_heads(nn.linear(lp["cross"]["q"], x), nhead)
+    a = attention_core(q, ck, cv, mem_bias, ctx, dropout_p)
+    a = nn.linear(lp["cross"]["out"], a.reshape(b_, t_, h_ * dh_))
+    x = nn.layernorm(lp["ln2"], x + nn.dropout(ctx, a, dropout_p))
+
+    f = _ffn(lp, ctx, x, dropout_p)
+    x = nn.layernorm(lp["ln3"], x + nn.dropout(ctx, f, dropout_p))
+    return x, sk, sv
+
+
 def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
-                 nhead: int, dropout_p: float):
+                 nhead: int, dropout_p: float, scan_layers: bool = False):
     """One decode step. x: [B, 1, D] at position `pos` (traced scalar).
     Attends over cache positions <= pos. Returns (y [B, 1, D], new_cache).
 
     Cache updates are dynamic_update_slice into the stacked [L, ...] buffers
-    (static layer index, traced position) so XLA keeps them in-place inside
-    the surrounding while_loop — never a full-cache copy per step."""
+    (traced position) so XLA keeps them in-place inside the surrounding
+    while_loop — never a full-cache copy per step. scan_layers runs the
+    layer loop as lax.scan over (stacked params, cache slices)."""
     max_len = cache.self_k.shape[2]
     # Positions > pos are masked out (the cache there is stale zeros).
     pos_ids = jnp.arange(max_len)[None, None, None, :]
     self_bias = jnp.where(pos_ids <= pos, 0.0, NEG_INF).astype(jnp.float32)
 
+    if scan_layers:
+        stacked = _stack_layers(p["layers"])
+        n = len(p["layers"])
+
+        def body(x, xs):
+            lp, sk, sv, ck, cv, li = xs
+            x, sk, sv = _decoder_step_layer(
+                lp, _layer_ctx(ctx, li), x, pos, sk, sv, ck, cv,
+                self_bias, mem_bias, nhead, dropout_p)
+            return x, (sk, sv)
+
+        x, (new_sk, new_sv) = jax.lax.scan(
+            body, x, (stacked, cache.self_k, cache.self_v,
+                      cache.cross_k, cache.cross_v, jnp.arange(n)))
+        return x, DecodeCache(new_sk, new_sv, cache.cross_k, cache.cross_v)
+
+    # Unrolled path: single-position writes into the 5-D stacked buffers
+    # (static layer index) — strictly in-place friendly.
     self_k, self_v = cache.self_k, cache.self_v
     zero = jnp.int32(0)
     for li, lp in enumerate(p["layers"]):

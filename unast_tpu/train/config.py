@@ -116,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
     # precision / parallelism
     add("--compute_dtype", type=str, default="bfloat16",
         choices=["float32", "bfloat16"])
+    add("--attn_impl", type=str, default="xla", choices=["xla", "flash"])
+    add("--scan_layers", type=lambda s: s.lower() != "false", default=False)
     add("--dp", type=int, default=1, help="data-parallel mesh size")
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
     add("--profile_dir", type=str, default=None,
@@ -158,4 +160,6 @@ def model_config_from_args(args):
         disc_num_layers=args.disc_num_layers,
         max_mel_len=args.max_mel_len, max_text_len=args.max_text_len,
         compute_dtype=args.compute_dtype,
+        attn_impl=getattr(args, "attn_impl", "xla"),
+        scan_layers=getattr(args, "scan_layers", False),
     )
