@@ -173,3 +173,14 @@ def test_serving_api():
         assert m.ndim == 2 and m.shape[1] == TINY.num_mels
     texts = syn.asr([np.sin(np.arange(4000) / 20).astype(np.float32) * 0.4])
     assert len(texts) == 1 and isinstance(texts[0], str)
+
+
+def test_train_loop_sharded_dp_tp():
+    """The real training loop over a (4, 2) virtual mesh."""
+    a = parse_with_config(CFG_ARGV + ["--dp", "4", "--tp", "2",
+                                      "--train_batch_size", "4"])
+    a.checkpoint_path = "/tmp/unast_tpu_test_ckpt_sharded"
+    shutil.rmtree(a.checkpoint_path, ignore_errors=True)
+    from unast_tpu.train.loop import train
+    ts, best = train(a)
+    assert os.path.exists(os.path.join(a.checkpoint_path, "metrics.jsonl"))

@@ -89,10 +89,17 @@ class BatchIterator:
         return cap
 
     def _next_items(self):
-        if self._order is None or self._pos + self.bs > len(self._order):
-            self._reshuffle()
-        idx = self._order[self._pos:self._pos + self.bs]
-        self._pos += self.bs
+        """Always returns exactly batch_size items; datasets smaller than a
+        batch wrap around (reshuffled per pass) so fixed shapes hold."""
+        idx = []
+        while len(idx) < self.bs:
+            if self._order is None or self._pos >= len(self._order) or (
+                    len(self._order) >= self.bs
+                    and self._pos + self.bs > len(self._order)):
+                self._reshuffle()
+            take = min(self.bs - len(idx), len(self._order) - self._pos)
+            idx.extend(self._order[self._pos:self._pos + take])
+            self._pos += take
         return [self.ds[int(i)] for i in idx]
 
     def _shapes_for(self, items):

@@ -73,7 +73,19 @@ def train(args):
         s_epoch, best, ts, _ = load_ckp(args.load_path, ts)
         print(f"[INFO] Training from epoch {s_epoch}.")
 
-    train_step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
+    step_fn = make_train_step(cfg, args)
+    mesh = None
+    if args.dp * args.tp > 1:
+        from ..parallel import make_mesh, shard_train_step, batch_shardings
+        mesh = make_mesh(args.dp, args.tp)
+        print(f"mesh: {dict(mesh.shape)} over {args.dp * args.tp} devices")
+        example = jax.tree_util.tree_map(
+            jnp.asarray, batch_getter.step_batches(args, cfg.use_discriminator))
+        train_step, ts = shard_train_step(step_fn, mesh, ts, example)
+        _b_shard = lambda b: jax.device_put(b, batch_shardings(mesh, b))
+    else:
+        train_step = jax.jit(step_fn, donate_argnums=(0,))
+        _b_shard = lambda b: b
     writer = MetricsWriter(
         jsonl_path=os.path.join(args.checkpoint_path, "metrics.jsonl"),
         tb_log_path=args.tb_log_path)
@@ -94,7 +106,7 @@ def train(args):
         with maybe_profile(args.profile_dir if epoch == s_epoch else None):
             for s in range(args.epoch_steps):
                 batches = batch_getter.step_batches(args, cfg.use_discriminator)
-                batches = jax.tree_util.tree_map(jnp.asarray, batches)
+                batches = _b_shard(jax.tree_util.tree_map(jnp.asarray, batches))
                 step_rng = jax.random.fold_in(rng, step_count)
                 ts, metrics = train_step(ts, step_rng, batches)
                 step_count += 1
