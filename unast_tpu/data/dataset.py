@@ -14,7 +14,7 @@ disk. Used by tests and bench.
 
 import csv
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -13,11 +13,8 @@ import argparse
 import os
 import sys
 import wave
-from typing import Optional
-
 import numpy as np
 
-from ..audio.params import DEFAULT
 from ..audio import ref_dsp
 from .dataset import load_manifest
 

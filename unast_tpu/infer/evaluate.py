@@ -9,7 +9,7 @@ dumps happen host-side."""
 import functools
 import json
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

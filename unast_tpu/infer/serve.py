@@ -13,8 +13,7 @@ while_loop; Griffin-Lim vocoding (via the CBHG vocoder if provided, else
 the mel pseudo-inverse lift) runs on device.
 """
 
-import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

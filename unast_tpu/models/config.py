@@ -8,7 +8,7 @@ against fixed shapes/hyperparameters.
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Optional
 
 from ..text.symbols import symbols
 

@@ -29,7 +29,7 @@ positions; we use strictly-causal convs applied once over the sequence
 (O(T)), and inside the inference loop BatchNorm always uses running stats.
 """
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ design space of src/configs/*.json) and light validation."""
 import argparse
 import json
 import sys
-from typing import Optional
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -8,14 +8,12 @@ Run:  python -m unast_tpu.train.loop --config configs/transformer_test.json \
 """
 
 import os
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.config import ModelConfig
 from ..data.batching import BatchGetter, BatchIterator
 from ..data.dataset import LJSpeechDataset, SyntheticSpeechDataset
 from ..infer.evaluate import evaluate

@@ -16,7 +16,7 @@ flip for generator phases (src/train.py:319-320) is a label tensor.
 """
 
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
