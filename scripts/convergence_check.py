@@ -41,8 +41,8 @@ def main(argv=None):
         "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
         "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
         "--nhead", "2", "--use_discriminator", "true", "--disc_hid", "16",
-        "--disc_num_layers", "1", "--max_mel_len", "64", "--max_text_len",
-        "32", "--data_mel_len", "64", "--data_text_len", "32",
+        "--disc_num_layers", "1", "--max_mel_len", "112", "--max_text_len",
+        "32", "--data_mel_len", "112", "--data_text_len", "32",
         "--cm_infer_mel_len", "16", "--cm_infer_text_len", "8",
         "--ae_steps", "2", "--cm_steps", "1", "--sp_steps", "2",
         "--d_steps", "1", "--train_batch_size", "8",
@@ -50,7 +50,10 @@ def main(argv=None):
         "--optim_type", "adamw", "--compute_dtype", "bfloat16"])
     cfg = model_config_from_args(args)
 
-    ds = SyntheticSpeechDataset(size=32, seed=0)
+    # phoneme_dur 0.04s -> ~3.2 frames/phoneme, so whole utterances fit the
+    # 64-frame cap (at the default 0.08s half of each utterance is cut off
+    # and ASR has an irreducible error floor).
+    ds = SyntheticSpeechDataset(size=32, seed=0, phoneme_dur_s=0.04)
     bg = BatchGetter(args, ds, ds, ds)
     ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
     step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))

@@ -387,3 +387,22 @@ def test_scan_layers_matches_unrolled():
     np.testing.assert_allclose(np.asarray(out_u[0]), np.asarray(out_s[0]),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(out_u[3]), np.asarray(out_s[3]))
+
+
+def test_text_prenet_step_matches_full_causal():
+    """The incremental per-layer-buffer prenet evaluation used in
+    text_rnn_infer reproduces the full-sequence causal conv stack at EVERY
+    position (including the first ones, where intermediate activations
+    differ from raw zero padding)."""
+    cfg = TINY
+    key = jax.random.PRNGKey(6)
+    p, s = M.text_prenet_init(key, cfg)
+    B, T = 2, 10
+    emb = jax.random.normal(jax.random.PRNGKey(7), (B, T, cfg.t_emb_dim))
+    ectx = nn.Ctx.eval()
+    full, _ = M.text_prenet_convs(p, s, ectx, emb, cfg, causal=True)
+    bufs = M.text_prenet_step_init(p, B, cfg, emb.dtype)
+    for i in range(T):
+        y, bufs = M.text_prenet_step(p, s, ectx, emb[:, i], bufs, cfg)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(full[:, i]),
+                                   atol=1e-5, err_msg=f"position {i}")

@@ -107,9 +107,11 @@ class SyntheticSpeechDataset:
     reference-parity CPU DSP and cached in memory."""
 
     def __init__(self, size: int = 64, seed: int = 0,
-                 n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT):
+                 n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT,
+                 phoneme_dur_s: float = 0.08):
         self.size = size
         self.params = params
+        self.phoneme_dur_s = phoneme_dur_s
         self._items: Dict[int, dict] = {}
         rng = np.random.default_rng(seed)
         self._texts = [synth_sentence(rng, n_words) for _ in range(size)]
@@ -122,7 +124,8 @@ class SyntheticSpeechDataset:
         if i not in self._items:
             rng = np.random.default_rng(self._seed * 100003 + i)
             ids = np.asarray(raw_text_to_phoneme_ids(self._texts[i]), np.int32)
-            wav = synth_audio(ids, self.params.sr, rng)
+            wav = synth_audio(ids, self.params.sr, rng,
+                              phoneme_dur_s=self.phoneme_dur_s)
             mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
             self._items[i] = {"ids": ids, "mel": mel, "mag": mag,
                               "fname": f"SYN-{i:05d}"}

@@ -169,6 +169,45 @@ def text_embed(p, ctx: nn.Ctx, ids, cfg: ModelConfig):
     return nn.dropout(ctx, emb, cfg.t_pre_drop)
 
 
+def text_prenet_step_init(p, batch: int, cfg: ModelConfig, dtype):
+    """Rolling per-layer activation buffers (last 5 positions each, zeros =
+    the causal conv's left padding) for EXACT incremental evaluation of the
+    causal conv stack."""
+    return (jnp.zeros((batch, 5, cfg.t_emb_dim), dtype),
+            jnp.zeros((batch, 5, cfg.e_in), dtype),
+            jnp.zeros((batch, 5, cfg.e_in), dtype))
+
+
+def text_prenet_step(p, s, ctx: nn.Ctx, emb_t, bufs, cfg: ModelConfig):
+    """One position of the causal conv stack. emb_t: [B, emb]. Returns
+    (y [B, e_in], new_bufs). Matches text_prenet_convs(causal=True) at every
+    position exactly (BN uses running stats). Each conv is a single
+    window-dot: y_i = sum_k w[k] . x[i-4+k]."""
+    def push(buf, v):
+        return jnp.concatenate([buf[:, 1:], v[:, None]], axis=1)
+
+    def conv_pos(cp, buf):
+        y = jnp.einsum("bkc,kcd->bd", buf, cp["w"].astype(buf.dtype))
+        if "b" in cp:
+            y = y + cp["b"].astype(buf.dtype)
+        return y
+
+    e_buf, c1_buf, c2_buf = bufs
+    e_buf = push(e_buf, emb_t)
+    h = conv_pos(p["conv1"], e_buf)
+    h, _ = nn.batchnorm(p["bn"]["bn1"], s["bn"]["bn1"], h, train=False)
+    h = nn.dropout(ctx, jax.nn.relu(h), cfg.t_pre_drop)
+    c1_buf = push(c1_buf, h)
+    h = conv_pos(p["conv2"], c1_buf)
+    h, _ = nn.batchnorm(p["bn"]["bn2"], s["bn"]["bn2"], h, train=False)
+    h = nn.dropout(ctx, jax.nn.relu(h), cfg.t_pre_drop)
+    c2_buf = push(c2_buf, h)
+    h = conv_pos(p["conv3"], c2_buf)
+    h, _ = nn.batchnorm(p["bn"]["bn3"], s["bn"]["bn3"], h, train=False)
+    h = nn.dropout(ctx, jax.nn.relu(h), cfg.t_pre_drop)
+    return h, (e_buf, c1_buf, c2_buf)
+
+
 def text_prenet_convs(p, s, ctx: nn.Ctx, x, cfg: ModelConfig, causal=False):
     """The conv half (forward_fcn). `causal=True` pads left-only — used on the
     RNN decoder input path instead of the reference's O(T^2) prefix re-run,

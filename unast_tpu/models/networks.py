@@ -301,42 +301,36 @@ def text_rnn_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     return logits, {"prenet": prenet_s}
 
 
-_TEXT_RNN_WINDOW = 13  # receptive field of 3 causal k=5 convs
-
-
 def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
                    max_len: Optional[int] = None):
-    """Greedy decode. The causal conv prenet is evaluated incrementally on a
-    rolling 13-token embedding window (the exact receptive field), so each
-    step costs O(window) instead of the reference's O(prefix) re-embed.
-    BatchNorm uses running statistics inside the loop."""
+    """Greedy decode. The causal conv prenet is evaluated EXACTLY
+    incrementally via per-layer rolling activation buffers
+    (modules.text_prenet_step): each step costs one window-dot per conv
+    instead of the reference's O(prefix) re-embed, and matches the
+    teacher-forced training path position-for-position. BatchNorm uses
+    running statistics inside the loop."""
     max_len = max_len or cfg.max_text_len
     hc, enc_out = enc_outputs
     b = enc_out.shape[0]
-    emb_dim = cfg.t_emb_dim
-    eval_ctx_state = s["prenet"]
 
     tokens = jnp.full((b, max_len), PAD_IDX, jnp.int32)
     stop_lens = jnp.full((b,), max_len, jnp.int32)
-    window = jnp.zeros((b, _TEXT_RNN_WINDOW, emb_dim), enc_out.dtype)
-    sos_emb = M.text_embed(p["prenet"], nn.Ctx.eval(), jnp.full((b,), SOS_IDX), cfg)
-    window = window.at[:, -1].set(sos_emb)
+    bufs = M.text_prenet_step_init(p["prenet"], b, cfg, enc_out.dtype)
+    sos_emb = M.text_embed(p["prenet"], nn.Ctx.eval(),
+                           jnp.full((b,), SOS_IDX), cfg)
     attn0 = _init_attn_state(p, cfg, enc_out)
 
     def cond(c):
-        i, _, _, _, _, stop_lens = c
+        i, _, _, _, _, _, stop_lens = c
         return jnp.logical_and(i < max_len, jnp.any(stop_lens == max_len))
 
     def body(c):
-        i, tokens, window, hc, attn, stop_lens = c
+        i, tokens, cur_emb, bufs, hc, attn, stop_lens = c
         ctx_i = _fold_ctx(ctx, i)
-        # Prenet convs over the window with frozen BN stats; last position is
-        # exactly the causal full-sequence value.
-        wx, _ = M.text_prenet_convs(p["prenet"], eval_ctx_state,
-                                    nn.Ctx(rng=ctx_i.rng, train=False),
-                                    window, cfg, causal=True)
+        x_t, bufs = M.text_prenet_step(p["prenet"], s["prenet"], ctx_i,
+                                       cur_emb, bufs, cfg)
         out, hc, attn = R.rnn_decoder_step(
-            p["decoder"], ctx_i, wx[:, -1], hc, enc_out, enc_pad_mask,
+            p["decoder"], ctx_i, x_t, hc, enc_out, enc_pad_mask,
             attn, cfg.d_drop, cfg.d_attn)
         logits = M.text_postnet(p["postnet"], ctx_i, out, cfg)
         choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -344,12 +338,12 @@ def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
             tokens, choice[:, None], i, axis=1)
         newly = jnp.logical_and(choice == EOS_IDX, stop_lens == max_len)
         stop_lens = jnp.where(newly, i + 1, stop_lens)
-        emb = M.text_embed(p["prenet"], nn.Ctx.eval(), choice, cfg)
-        window = jnp.concatenate([window[:, 1:], emb[:, None]], axis=1)
-        return (i + 1, tokens, window, hc, attn, stop_lens)
+        cur_emb = M.text_embed(p["prenet"], nn.Ctx.eval(), choice, cfg)
+        return (i + 1, tokens, cur_emb, bufs, hc, attn, stop_lens)
 
-    _, tokens, _, _, _, stop_lens = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens, window, hc, attn0, stop_lens))
+    _, tokens, _, _, _, _, stop_lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, sos_emb, bufs, hc, attn0,
+                     stop_lens))
     tokens = tokens * M.lens_to_mask(stop_lens, max_len).astype(tokens.dtype)
     return tokens, stop_lens
 

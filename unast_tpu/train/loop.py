@@ -108,11 +108,12 @@ def train(args):
                 step_rng = jax.random.fold_in(rng, step_count)
                 ts, metrics = train_step(ts, step_rng, batches)
                 step_count += 1
-                host = {k: float(v) for k, v in metrics.items()}
-                check_nan(host, step_count, args.checkpoint_path)
-                writer.scalars(step_count, host, prefix="train/")
-                for k, v in host.items():
-                    epoch_losses.setdefault(k, []).append(v)
+                if step_count % max(1, args.log_every) == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    check_nan(host, step_count, args.checkpoint_path)
+                    writer.scalars(step_count, host, prefix="train/")
+                    for k, v in host.items():
+                        epoch_losses.setdefault(k, []).append(v)
         dt = time.time() - t0
         print(f"Epoch {epoch}: {args.epoch_steps} steps in {dt:.1f}s "
               f"({args.epoch_steps / dt:.2f} steps/s)")
