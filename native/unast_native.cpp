@@ -118,16 +118,20 @@ void trim_silence_bounds(const float* y, int64_t n, int frame_length, int hop,
   out_bounds[0] = 0;
   out_bounds[1] = n;
   if (n == 0) return;
-  int64_t n_frames = (n < frame_length) ? 1 : 1 + (n - frame_length) / hop;
+  // Centered RMS frames (librosa.feature.rms center=True zero padding):
+  // frame t spans samples [t*hop - frame/2, t*hop + frame/2) of y, with
+  // out-of-range samples contributing zero; divide by frame_length always.
+  const int64_t pad = frame_length / 2;
+  int64_t n_frames = 1 + ((n + 2 * pad) - frame_length) / hop;
   std::vector<double> mse(n_frames);
   double max_mse = 0.0;
   for (int64_t t = 0; t < n_frames; ++t) {
-    int64_t start = t * hop;
-    int64_t len = std::min<int64_t>(frame_length, n - start);
-    if (n < frame_length) { start = 0; len = n; }
+    int64_t start = t * hop - pad;
+    int64_t lo = std::max<int64_t>(0, start);
+    int64_t hi = std::min<int64_t>(n, start + frame_length);
     double acc = 0.0;
-    for (int64_t i = 0; i < len; ++i) acc += (double)y[start + i] * y[start + i];
-    mse[t] = acc / len;
+    for (int64_t i = lo; i < hi; ++i) acc += (double)y[i] * y[i];
+    mse[t] = acc / frame_length;
     max_mse = std::max(max_mse, mse[t]);
   }
   max_mse = std::max(max_mse, 1e-10);

@@ -19,16 +19,17 @@ from .params import AudioParams, DEFAULT
 
 def trim_silence(y: np.ndarray, p: AudioParams = DEFAULT):
     """librosa.effects.trim semantics: drop leading/trailing frames whose
-    RMS power is more than top_db below the signal max."""
+    RMS power is more than top_db below the signal max. RMS frames are
+    CENTERED (librosa.feature.rms center=True zero-pads frame//2 both
+    sides), so frame t spans [t*hop - frame//2, t*hop + frame//2)."""
     frame, hop = p.trim_frame_length, p.trim_hop_length
     if len(y) == 0:
         return y, (0, 0)
-    if len(y) < frame:
-        mse = np.array([np.mean(np.abs(y) ** 2)])
-    else:
-        n_frames = 1 + (len(y) - frame) // hop
-        idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-        mse = np.mean(np.abs(y[idx]) ** 2, axis=1)
+    pad = frame // 2
+    ypad = np.pad(y.astype(np.float64), pad)
+    n_frames = 1 + (len(ypad) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    mse = np.mean(ypad[idx] ** 2, axis=1)
     db = 10.0 * np.log10(np.maximum(mse, 1e-10) / max(np.max(mse), 1e-10))
     non_silent = db > -p.trim_top_db
     if not non_silent.any():

@@ -151,11 +151,13 @@ class BatchGetter:
         """All stacked micro-batches for ONE outer train step:
         ae/cm from the unsupervised stream, sp from the supervised stream,
         d from the full stream (src/train.py:607-638)."""
-        batches = {
-            "ae": self.unsupervised.next_stacked(args.ae_steps),
-            "cm": self.unsupervised.next_stacked(args.cm_steps),
-            "sp": self.supervised.next_stacked(args.sp_steps),
-        }
-        if use_discriminator:
+        batches = {}
+        if args.ae_steps > 0:
+            batches["ae"] = self.unsupervised.next_stacked(args.ae_steps)
+        if args.cm_steps > 0:
+            batches["cm"] = self.unsupervised.next_stacked(args.cm_steps)
+        if args.sp_steps > 0:
+            batches["sp"] = self.supervised.next_stacked(args.sp_steps)
+        if use_discriminator and args.d_steps > 0:
             batches["d"] = self.full.next_stacked(args.d_steps)
         return batches

@@ -1,8 +1,8 @@
 """Offline wav -> mel/mag preprocessor — parity with src/prepare_data.py
-(which parallelizes only via DataLoader workers). Here: a process pool over
-clips, each worker batching clips through the jitted TPU DSP path (or the
-numpy path with --cpu), writing `<id>.mel.npy` / `<id>.mag.npy` into the
-cache dir.
+(which parallelizes only via DataLoader workers). Writes `<id>.mel.npy` /
+`<id>.mag.npy` into the cache dir. `--workers N` forks a process pool for
+the numpy (--cpu) path; the default jitted device path runs in-process
+(the device is the bottleneck there, not the host).
 
 Usage:
   python -m unast_tpu.data.prepare --data_path <LJSpeech-1.1> \
@@ -51,6 +51,8 @@ def main(argv=None):
     ap.add_argument("--cache_dir", required=True)
     ap.add_argument("--cpu", action="store_true",
                     help="numpy reference DSP instead of the jitted path")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="process pool size for the --cpu path")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -59,6 +61,14 @@ def main(argv=None):
     if args.limit:
         rows = rows[:args.limit]
     os.makedirs(args.cache_dir, exist_ok=True)
+    if args.cpu and args.workers > 1:
+        import multiprocessing as mp
+        jobs = [(os.path.join(args.data_path, "wavs", fid + ".wav"),
+                 args.cache_dir, fid, False) for fid, _ in rows]
+        with mp.Pool(args.workers) as pool:
+            frames = pool.starmap(process_clip, jobs, chunksize=32)
+        print(f"[prepare] done: {len(rows)} clips, {sum(frames)} frames")
+        return
     total = 0
     for i, (fid, _) in enumerate(rows):
         wav_path = os.path.join(args.data_path, "wavs", fid + ".wav")

@@ -65,10 +65,12 @@ def train_vocoder(args, dataset, epochs: Optional[int] = None):
     step = make_vocoder_step(args, tx)
 
     valid_size = min(getattr(args, "valid_size", 0) or max(1, len(dataset) // 10),
-                     len(dataset) - 1)
+                     max(0, len(dataset) - 1))
     rng_np = np.random.default_rng(args.seed)
     indices = rng_np.permutation(len(dataset))
-    train_idx, valid_idx = indices[:-valid_size], indices[-valid_size:]
+    split = len(indices) - valid_size
+    train_idx, valid_idx = indices[:split], indices[split:]
+    assert len(train_idx) > 0, "vocoder training needs at least one item"
 
     class _Subset:
         def __init__(self, ds, idx):
@@ -159,8 +161,9 @@ def main(argv=None):
     if known.infer:
         params, vstate = load_vocoder_ckpt(known.vocoder_ckpt)
         mels_dir = os.path.join(args.out_test_dir, "mels")
-        fnames = sorted(f[:-3] for f in os.listdir(mels_dir)
-                        if f.endswith(".pt"))
+        # eval dumps use np.save(fname + '.pt') which writes '<f>.pt.npy'
+        fnames = sorted(f[: -len(".pt.npy")] for f in os.listdir(mels_dir)
+                        if f.endswith(".pt.npy") and not f.endswith(".mag.npy"))
         make_mags(params, vstate, mels_dir, fnames,
                   mel_len=args.data_mel_len)
         print(f"wrote {len(fnames)} .mag.npy files to {mels_dir}")

@@ -41,12 +41,18 @@ from . import transformer as T
 from . import rnn as R
 
 
-def _fold_ctx(ctx: nn.Ctx, i) -> nn.Ctx:
+def _loop_base(ctx: nn.Ctx):
+    """A loop-distinct base key: ctx.next_rng() advances the parent counter,
+    so two loops in the same forward pass never share a fold domain."""
+    return ctx.next_rng() if ctx.rng is not None else None
+
+
+def _fold_ctx(base, train: bool, i) -> nn.Ctx:
     """Fresh per-iteration rng inside decode loops (the loop body is traced
     once, so Ctx's op counter alone would repeat masks across steps)."""
-    if ctx.rng is None:
-        return nn.Ctx(rng=None, train=ctx.train)
-    return nn.Ctx(rng=jax.random.fold_in(ctx.rng, i), train=ctx.train)
+    if base is None:
+        return nn.Ctx(rng=None, train=train)
+    return nn.Ctx(rng=jax.random.fold_in(base, i), train=train)
 
 
 # ===========================================================================
@@ -108,6 +114,7 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     mem_bias = T.padding_bias(mem_pad_mask)
     tokens = jnp.full((b, max_len + 1), PAD_IDX, jnp.int32).at[:, 0].set(SOS_IDX)
     stop_lens = jnp.full((b,), max_len, jnp.int32)
+    rng_base = _loop_base(ctx)
 
     def cond(c):
         i, _, _, stop_lens = c
@@ -115,7 +122,7 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
 
     def body(c):
         i, tokens, cache, stop_lens = c
-        ctx_i = _fold_ctx(ctx, i)
+        ctx_i = _fold_ctx(rng_base, ctx.train, i)
         cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
         x = M.text_embed(p["prenet"], ctx_i, cur, cfg)
         x = M.positional_encoding(ctx_i, x, offset=i)
@@ -198,6 +205,7 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     frames = jnp.zeros((b, max_len + 1, cfg.num_mels), memory.dtype)
     stops = jnp.zeros((b, max_len), memory.dtype)
     stop_lens = jnp.full((b,), max_len, jnp.int32)
+    rng_base = _loop_base(ctx)
 
     def cond(c):
         i, _, _, _, stop_lens = c
@@ -205,7 +213,7 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
 
     def body(c):
         i, frames, stops, cache, stop_lens = c
-        ctx_i = _fold_ctx(ctx, i)
+        ctx_i = _fold_ctx(rng_base, ctx.train, i)
         cur = jax.lax.dynamic_slice_in_dim(frames, i, 1, axis=1)
         x = M.speech_prenet(p["prenet"], ctx_i, cur, cfg)
         x = M.positional_encoding(ctx_i, x, offset=i)
@@ -286,12 +294,13 @@ def text_rnn_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg,
                                       causal=True)
     attn0 = _init_attn_state(p, cfg, enc_out)
+    rng_base = _loop_base(ctx)
 
     def step(carry, inp):
         i, hc, attn = carry
         out, hc, attn = R.rnn_decoder_step(
-            p["decoder"], _fold_ctx(ctx, i), inp, hc, enc_out, enc_pad_mask,
-            attn, cfg.d_drop, cfg.d_attn)
+            p["decoder"], _fold_ctx(rng_base, ctx.train, i), inp, hc,
+            enc_out, enc_pad_mask, attn, cfg.d_drop, cfg.d_attn)
         return (i + 1, hc, attn), out
 
     _, outs = jax.lax.scan(step, (jnp.int32(0), hc, attn0),
@@ -319,6 +328,7 @@ def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
     sos_emb = M.text_embed(p["prenet"], nn.Ctx.eval(),
                            jnp.full((b,), SOS_IDX), cfg)
     attn0 = _init_attn_state(p, cfg, enc_out)
+    rng_base = _loop_base(ctx)
 
     def cond(c):
         i, _, _, _, _, _, stop_lens = c
@@ -326,7 +336,7 @@ def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
 
     def body(c):
         i, tokens, cur_emb, bufs, hc, attn, stop_lens = c
-        ctx_i = _fold_ctx(ctx, i)
+        ctx_i = _fold_ctx(rng_base, ctx.train, i)
         x_t, bufs = M.text_prenet_step(p["prenet"], s["prenet"], ctx_i,
                                        cur_emb, bufs, cfg)
         out, hc, attn = R.rnn_decoder_step(
@@ -385,10 +395,11 @@ def speech_rnn_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     go = jnp.zeros((b, 1, cfg.num_mels), tgt.dtype)
     tgt_in = jnp.concatenate([go, tgt[:, :-1]], axis=1)
     attn0 = _init_attn_state(p, cfg, enc_out)
+    rng_base = _loop_base(ctx)
 
     def step(carry, frame):
         i, hc, attn = carry
-        ctx_i = _fold_ctx(ctx, i)
+        ctx_i = _fold_ctx(rng_base, ctx.train, i)
         x = M.speech_prenet(p["prenet"], ctx_i, frame[:, None, :], cfg)[:, 0]
         out, hc, attn = R.rnn_decoder_step(
             p["decoder"], ctx_i, x, hc, enc_out, enc_pad_mask,
@@ -414,6 +425,7 @@ def speech_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
     stops = jnp.zeros((b, max_len), enc_out.dtype)
     stop_lens = jnp.full((b,), max_len, jnp.int32)
     attn0 = _init_attn_state(p, cfg, enc_out)
+    rng_base = _loop_base(ctx)
 
     def cond(c):
         i, _, _, _, _, stop_lens = c
@@ -421,7 +433,7 @@ def speech_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
 
     def body(c):
         i, frames, stops, hc, attn, stop_lens = c
-        ctx_i = _fold_ctx(ctx, i)
+        ctx_i = _fold_ctx(rng_base, ctx.train, i)
         cur = jax.lax.dynamic_slice_in_dim(frames, i, 1, axis=1)
         x = M.speech_prenet(p["prenet"], ctx_i, cur, cfg)[:, 0]
         out, hc, attn = R.rnn_decoder_step(

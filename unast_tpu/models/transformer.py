@@ -141,10 +141,12 @@ def _stack_layers(layers):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _layer_ctx(ctx: nn.Ctx, li):
-    if ctx.rng is None:
-        return nn.Ctx(rng=None, train=ctx.train)
-    return nn.Ctx(rng=jax.random.fold_in(ctx.rng, li), train=ctx.train)
+def _layer_ctx(base, train: bool, li):
+    """Per-layer ctx for scanned stacks; `base` comes from ctx.next_rng()
+    so the fold domain is distinct from every other loop's."""
+    if base is None:
+        return nn.Ctx(rng=None, train=train)
+    return nn.Ctx(rng=jax.random.fold_in(base, li), train=train)
 
 
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
@@ -164,11 +166,12 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
 
     stacked = _stack_layers(p["layers"])
     n = len(p["layers"])
+    rng_base = ctx.next_rng() if ctx.rng is not None else None
 
     def body(x, xs):
         lp, li = xs
-        y = encoder_layer(lp, _layer_ctx(ctx, li), x, bias, nhead,
-                          dropout_p, impl=impl, kv_lens=kv_lens)
+        y = encoder_layer(lp, _layer_ctx(rng_base, ctx.train, li), x, bias,
+                          nhead, dropout_p, impl=impl, kv_lens=kv_lens)
         return y, None
 
     x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
@@ -231,11 +234,12 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
 
     stacked = _stack_layers(p["layers"])
     n = len(p["layers"])
+    rng_base = ctx.next_rng() if ctx.rng is not None else None
 
     def body(x, xs):
         lp, li = xs
-        y = decoder_layer(lp, _layer_ctx(ctx, li), x, memory, self_bias,
-                          cross_bias, nhead, dropout_p, impl=impl,
+        y = decoder_layer(lp, _layer_ctx(rng_base, ctx.train, li), x, memory,
+                          self_bias, cross_bias, nhead, dropout_p, impl=impl,
                           tgt_lens=tgt_lens, mem_lens=mem_lens)
         return y, None
 
@@ -314,12 +318,13 @@ def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
     if scan_layers:
         stacked = _stack_layers(p["layers"])
         n = len(p["layers"])
+        rng_base = ctx.next_rng() if ctx.rng is not None else None
 
         def body(x, xs):
             lp, sk, sv, ck, cv, li = xs
             x, sk, sv = _decoder_step_layer(
-                lp, _layer_ctx(ctx, li), x, pos, sk, sv, ck, cv,
-                self_bias, mem_bias, nhead, dropout_p)
+                lp, _layer_ctx(rng_base, ctx.train, li), x, pos, sk, sv,
+                ck, cv, self_bias, mem_bias, nhead, dropout_p)
             return x, (sk, sv)
 
         x, (new_sk, new_sv) = jax.lax.scan(

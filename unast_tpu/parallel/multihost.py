@@ -18,15 +18,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize_distributed():
     """jax.distributed.initialize() when launched under a multi-process
-    runtime (JAX_COORDINATOR_ADDRESS / TPU pod env); no-op single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    runtime (JAX_COORDINATOR_ADDRESS env); no-op single-process. MUST run
+    before anything touches a JAX backend (jax.devices/process_count), so
+    the env check comes first."""
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
+    if not addr:
+        return
+    try:
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    except RuntimeError as e:
+        # already initialized by the launcher
+        print(f"[multihost] distributed init skipped: {e}")
 
 
 class HostShardedDataset:

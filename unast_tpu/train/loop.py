@@ -43,12 +43,26 @@ def initialize_datasets(args):
             "val": ds("val"), "full": ds("full_train"), "test": ds("test")}
 
 
+def _fit_eval_bs(n: int, requested: int) -> int:
+    """Largest batch size <= requested that divides the set, so evaluation
+    covers EVERY utterance (the reference instead asserts divisibility,
+    src/train.py:987)."""
+    bs = max(1, min(requested, n))
+    while n % bs != 0:
+        bs -= 1
+    return bs
+
+
 def _val_batches(args, val_ds):
-    """Fixed-shape eval batches over the validation set (drop_last)."""
-    it = BatchIterator(val_ds, batch_size=min(args.eval_batch_size, len(val_ds)),
+    """Fixed-shape eval batches covering the whole validation set."""
+    bs = _fit_eval_bs(len(val_ds), args.eval_batch_size)
+    if bs != args.eval_batch_size:
+        print(f"[eval] batch size {args.eval_batch_size} -> {bs} "
+              f"(divides {len(val_ds)})")
+    it = BatchIterator(val_ds, batch_size=bs,
                        text_len=args.data_text_len, mel_len=args.data_mel_len,
                        seed=args.seed, n_mels=args.num_mels)
-    n = max(1, len(val_ds) // it.bs)
+    n = len(val_ds) // bs
     it._reshuffle()
     return [it.next_batch() for _ in range(n)]
 
@@ -154,11 +168,12 @@ def evaluate_main(args):
     cfg = model_config_from_args(args)
     datasets = initialize_datasets(args)
     test_ds = datasets["test"]
-    it = BatchIterator(test_ds, batch_size=min(args.eval_batch_size, len(test_ds)),
+    bs = _fit_eval_bs(len(test_ds), args.eval_batch_size)
+    it = BatchIterator(test_ds, batch_size=bs,
                        text_len=args.data_text_len, mel_len=args.data_mel_len,
                        seed=args.seed, n_mels=args.num_mels)
     it._order = np.arange(len(test_ds))  # unshuffled, reference shuffle=False
-    n = max(1, len(test_ds) // it.bs)
+    n = len(test_ds) // bs
     batches = [it.next_batch() for _ in range(n)]
 
     ts = init_train_state(jax.random.PRNGKey(args.seed), cfg, args)
@@ -173,6 +188,8 @@ def evaluate_main(args):
 
 
 def main(argv=None):
+    from ..parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()  # must precede any backend use
     args = parse_with_config(argv)
     print(f"devices: {jax.devices()}")
     if args.is_eval_test:

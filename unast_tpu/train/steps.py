@@ -264,10 +264,13 @@ def make_train_step(cfg: ModelConfig, args):
             metrics.update({f"{name}/{k}": jnp.mean(v) for k, v in aux.items()})
 
         gen_params, disc_params = split_params(ts.params)
-        gen_grads = {k: v for k, v in total.items() if k != "discriminator"}
-        metrics["grad_norm"] = optax.global_norm(gen_grads)
-        updates, gen_opt = gen_tx.update(gen_grads, ts.gen_opt, gen_params)
-        gen_params = optax.apply_updates(gen_params, updates)
+        gen_opt = ts.gen_opt
+        if total is not None:
+            gen_grads = {k: v for k, v in total.items()
+                         if k != "discriminator"}
+            metrics["grad_norm"] = optax.global_norm(gen_grads)
+            updates, gen_opt = gen_tx.update(gen_grads, gen_opt, gen_params)
+            gen_params = optax.apply_updates(gen_params, updates)
         new_params = dict(gen_params)
         disc_opt = ts.disc_opt
 
