@@ -33,27 +33,44 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--model_type", default="transformer")
+    ap.add_argument("--preset", default="small", choices=["small", "full"],
+                    help="'full' trains the flagship d=256/4L model")
     ap.add_argument("--report", default=None, help="write JSON report here")
     known = ap.parse_args(argv)
 
-    args = parse_with_config([
-        "--model_type", known.model_type,
-        "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
-        "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
-        "--nhead", "2", "--use_discriminator", "true", "--disc_hid", "16",
-        "--disc_num_layers", "1", "--max_mel_len", "112", "--max_text_len",
-        "32", "--data_mel_len", "112", "--data_text_len", "32",
-        "--cm_infer_mel_len", "16", "--cm_infer_text_len", "8",
-        "--ae_steps", "2", "--cm_steps", "1", "--sp_steps", "2",
-        "--d_steps", "1", "--train_batch_size", "8",
-        "--sched_type", "multistep", "--lr", "1e-3",
-        "--optim_type", "adamw", "--compute_dtype", "bfloat16"])
+    if known.preset == "full":
+        argv_cfg = [
+            "--model_type", known.model_type,
+            "--use_discriminator", "true",
+            "--max_mel_len", "256", "--max_text_len", "40",
+            "--data_mel_len", "256", "--data_text_len", "40",
+            "--cm_infer_mel_len", "64", "--cm_infer_text_len", "16",
+            "--ae_steps", "2", "--cm_steps", "1", "--sp_steps", "2",
+            "--d_steps", "1", "--train_batch_size", "8",
+            "--sched_type", "multistep", "--lr", "3e-4",
+            "--optim_type", "adamw", "--compute_dtype", "bfloat16"]
+    else:
+        argv_cfg = [
+            "--model_type", known.model_type,
+            "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
+            "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
+            "--nhead", "2", "--use_discriminator", "true", "--disc_hid", "16",
+            "--disc_num_layers", "1", "--max_mel_len", "112",
+            "--max_text_len", "32", "--data_mel_len", "112",
+            "--data_text_len", "32",
+            "--cm_infer_mel_len", "16", "--cm_infer_text_len", "8",
+            "--ae_steps", "2", "--cm_steps", "1", "--sp_steps", "2",
+            "--d_steps", "1", "--train_batch_size", "8",
+            "--sched_type", "multistep", "--lr", "1e-3",
+            "--optim_type", "adamw", "--compute_dtype", "bfloat16"]
+    args = parse_with_config(argv_cfg)
     cfg = model_config_from_args(args)
 
     # phoneme_dur 0.04s -> ~3.2 frames/phoneme, so whole utterances fit the
     # 64-frame cap (at the default 0.08s half of each utterance is cut off
     # and ASR has an irreducible error floor).
-    ds = SyntheticSpeechDataset(size=32, seed=0, phoneme_dur_s=0.04)
+    dur = 0.04 if known.preset == "small" else 0.08
+    ds = SyntheticSpeechDataset(size=32, seed=0, phoneme_dur_s=dur)
     bg = BatchGetter(args, ds, ds, ds)
     ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
     step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
