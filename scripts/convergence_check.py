@@ -75,14 +75,26 @@ def main(argv=None):
     ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
     step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
 
-    def measure_per(ts):
+    def measure_per(ts, show=False):
         it = BatchIterator(ds, 8, args.data_text_len, args.data_mel_len, seed=9)
         b = it.next_batch()
         (ids, lens), _ = U.asr(ts.params, ts.net_state, nn.Ctx.eval(), cfg,
                                None, None, jnp.asarray(b["mel"]),
                                jnp.asarray(b["mel_len"]), infer=True)
-        return compute_per(b["text"], np.asarray(ids), b["text_len"],
-                           np.asarray(lens))
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        if show:
+            # teacher-forced argmax accuracy for comparison
+            logits, _ = U.asr(ts.params, ts.net_state, nn.Ctx.eval(), cfg,
+                              jnp.asarray(b["text"]), jnp.asarray(b["text_len"]),
+                              jnp.asarray(b["mel"]), jnp.asarray(b["mel_len"]))
+            pred_tf = np.asarray(jnp.argmax(logits, -1))
+            mask = (np.arange(b["text"].shape[1])[None] < b["text_len"][:, None])
+            acc = (pred_tf == b["text"])[mask].mean()
+            print(f"  teacher-forced token acc: {acc:.3f}")
+            print(f"  gt[0]  ({b['text_len'][0]}): "
+                  f"{b['text'][0][:b['text_len'][0]].tolist()}")
+            print(f"  hyp[0] ({lens[0]}): {ids[0][:lens[0]].tolist()}")
+        return compute_per(b["text"], ids, b["text_len"], lens)
 
     per0 = measure_per(ts)
     print(f"untrained PER: {per0:.3f}")
@@ -102,7 +114,7 @@ def main(argv=None):
                   f"s_ae {host['ae/s_ae']:.3f} asr {host['sp/asr']:.3f} "
                   f"tts {host['sp/tts']:.3f}")
     dt = time.time() - t0
-    per1 = measure_per(ts)
+    per1 = measure_per(ts, show=True)
     print(f"trained PER: {per1:.3f}  ({known.steps} steps in {dt:.1f}s, "
           f"{known.steps / dt:.2f} steps/s)")
 
