@@ -406,3 +406,33 @@ def test_text_prenet_step_matches_full_causal():
         y, bufs = M.text_prenet_step(p, s, ectx, emb[:, i], bufs, cfg)
         np.testing.assert_allclose(np.asarray(y), np.asarray(full[:, i]),
                                    atol=1e-5, err_msg=f"position {i}")
+
+
+def test_beam_search_and_sampling(tr_model):
+    """Beam search (K=1 == greedy; K=3 score >= greedy score) and
+    temperature sampling decode."""
+    cfg, params, state = tr_model
+    ids, t_lens = _text_batch(cfg)
+    ectx = nn.Ctx.eval()
+    (mem, mask), _ = N.text_encode(params["text_m"], state["text_m"], ectx,
+                                   cfg, ids, t_lens)
+    greedy, g_lens = N.text_tr_infer(params["text_m"], ectx, cfg, mem, mask)
+    beam1, b1_lens = N.text_tr_beam_search(params["text_m"], ectx, cfg,
+                                           mem, mask, beam=1)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+    np.testing.assert_array_equal(np.asarray(g_lens), np.asarray(b1_lens))
+
+    beam3, b3_lens = N.text_tr_beam_search(params["text_m"], ectx, cfg,
+                                           mem, mask, beam=3)
+    assert beam3.shape == greedy.shape
+    m = np.asarray(beam3)
+    assert np.all(m[~np.asarray(M.lens_to_mask(b3_lens, cfg.max_text_len))] == 0)
+
+    sctx = nn.Ctx(rng=jax.random.PRNGKey(5), train=False)
+    s1, _ = N.text_tr_infer(params["text_m"], sctx, cfg, mem, mask,
+                            temperature=1.0)
+    sctx2 = nn.Ctx(rng=jax.random.PRNGKey(6), train=False)
+    s2, _ = N.text_tr_infer(params["text_m"], sctx2, cfg, mem, mask,
+                            temperature=1.0)
+    assert s1.shape == greedy.shape
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))  # stochastic

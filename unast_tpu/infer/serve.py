@@ -73,6 +73,15 @@ class Synthesizer:
                                     infer=True)
         return ids, stop_lens
 
+    def _asr_beam_impl(self, params, net_state, mel, mel_len, beam):
+        from ..models import networks as N
+        ectx = nn.Ctx.eval()
+        (enc, mask), _ = N.speech_encode(params["speech_m"],
+                                         net_state["speech_m"], ectx,
+                                         self.cfg, mel, mel_len)
+        return N.text_tr_beam_search(params["text_m"], ectx, self.cfg,
+                                     enc, mask, beam=beam)
+
     # -- public API ----------------------------------------------------------
 
     def _bucket(self, buckets, need):
@@ -116,8 +125,11 @@ class Synthesizer:
             wavs.append(dsp.mag_to_wav(mag, self.audio_params))
         return wavs
 
-    def asr_ids(self, mels: List[np.ndarray]):
-        """mels (list of [T, n_mels]) -> list of phoneme-id np arrays."""
+    def asr_ids(self, mels: List[np.ndarray], beam: int = 1):
+        """mels (list of [T, n_mels]) -> list of phoneme-id np arrays.
+        beam > 1 (transformer backbone only) uses beam-search decode."""
+        if beam > 1 and self.cfg.model_type != "transformer":
+            raise ValueError("beam search requires the transformer backbone")
         out = []
         for start in range(0, len(mels), self.max_batch):
             chunk = mels[start:start + self.max_batch]
@@ -128,21 +140,29 @@ class Synthesizer:
                 m = m[:ml]
                 mel[i, :len(m)] = m
                 lens[i] = len(m)
-            ids, stop_lens = self._asr_fn(self.params, self.net_state,
-                                          jnp.asarray(mel), jnp.asarray(lens))
+            if beam > 1:
+                ids, stop_lens = jax.jit(
+                    self._asr_beam_impl, static_argnums=(4,))(
+                        self.params, self.net_state, jnp.asarray(mel),
+                        jnp.asarray(lens), beam)
+            else:
+                ids, stop_lens = self._asr_fn(self.params, self.net_state,
+                                              jnp.asarray(mel),
+                                              jnp.asarray(lens))
             ids = np.asarray(ids)
             stop_lens = np.asarray(stop_lens)
             out.extend(ids[i, : stop_lens[i]] for i in range(len(chunk)))
         return out
 
-    def asr(self, wavs: List[np.ndarray]):
+    def asr(self, wavs: List[np.ndarray], beam: int = 1):
         """waveforms -> decoded text strings (via the shared DSP + codec)."""
         mels = []
         for wav in wavs:
             mel, _, n = dsp.wav_to_mel_mag(np.asarray(wav, np.float32),
                                            self.audio_params)
             mels.append(np.asarray(mel[:n], np.float32))
-        return [sequence_to_text(ids.tolist()) for ids in self.asr_ids(mels)]
+        return [sequence_to_text(ids.tolist())
+                for ids in self.asr_ids(mels, beam=beam)]
 
     def warmup(self):
         """Pre-compile every bucket (one dummy request per bucket)."""

@@ -105,8 +105,9 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
 
 
 def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
-                  max_len: Optional[int] = None):
-    """KV-cached greedy decode. Returns (ids [B, max_len] masked past stop,
+                  max_len: Optional[int] = None, temperature: float = 0.0):
+    """KV-cached decode: greedy (temperature=0, reference parity) or
+    temperature sampling. Returns (ids [B, max_len] masked past stop,
     stop_lens [B])."""
     max_len = max_len or cfg.max_text_len
     b = memory.shape[0]
@@ -115,6 +116,10 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     tokens = jnp.full((b, max_len + 1), PAD_IDX, jnp.int32).at[:, 0].set(SOS_IDX)
     stop_lens = jnp.full((b,), max_len, jnp.int32)
     rng_base = _loop_base(ctx)
+    if temperature > 0 and rng_base is None:
+        raise ValueError("temperature sampling needs a Ctx with an rng key")
+    sample_base = (jax.random.fold_in(rng_base, 0x5a3f)
+                   if rng_base is not None else None)
 
     def cond(c):
         i, _, _, stop_lens = c
@@ -130,7 +135,13 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
                                   cfg.nhead, cfg.d_drop,
                                   scan_layers=cfg.scan_layers)
         logits = M.text_postnet(p["postnet"], ctx_i, h, cfg)
-        choice = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        if temperature > 0:
+            choice = jax.random.categorical(
+                jax.random.fold_in(sample_base, i),
+                logits[:, -1].astype(jnp.float32) / temperature,
+                axis=-1).astype(jnp.int32)
+        else:
+            choice = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, choice[:, None], i + 1, axis=1)
         newly = jnp.logical_and(choice == EOS_IDX, stop_lens == max_len)
@@ -140,6 +151,90 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     _, tokens, _, stop_lens = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tokens, cache, stop_lens))
     res = tokens[:, 1:]
+    res = res * M.lens_to_mask(stop_lens, max_len).astype(res.dtype)
+    return res, stop_lens
+
+
+def text_tr_beam_search(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
+                        beam: int = 4, max_len: Optional[int] = None,
+                        length_penalty: float = 0.6):
+    """KV-cached beam search over the text decoder (capability add beyond
+    the reference's greedy-only decode). Returns (ids [B, max_len],
+    stop_lens [B]) for the best finished beam per batch element.
+
+    Fixed shapes throughout: beams ride a flattened [B*K] batch axis; the
+    per-step beam reorder is a gather over that axis of the KV cache.
+    Finished beams are frozen (forced to re-emit EOS with zero added score).
+    Scores use GNMT length normalization ((5+len)/6)^length_penalty."""
+    max_len = max_len or cfg.max_text_len
+    b, ts_, d = memory.shape
+    k = beam
+    mem_k = jnp.repeat(memory, k, axis=0)               # [B*K, Ts, D]
+    pad_k = jnp.repeat(mem_pad_mask, k, axis=0)
+    cache = T.init_cache(p["decoder"], mem_k, max_len, cfg.nhead)
+    mem_bias = T.padding_bias(pad_k)
+    tokens = jnp.full((b * k, max_len + 1), PAD_IDX, jnp.int32)
+    tokens = tokens.at[:, 0].set(SOS_IDX)
+    # beam 0 starts live, others at -inf so the first expansion seeds
+    # distinct continuations.
+    scores = jnp.tile(jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b,))
+    finished = jnp.zeros((b * k,), bool)
+    fin_lens = jnp.full((b * k,), max_len, jnp.int32)
+    rng_base = _loop_base(ctx)
+
+    def cond(c):
+        i, _, _, _, finished, _ = c
+        return jnp.logical_and(i < max_len, ~jnp.all(finished))
+
+    def body(c):
+        i, tokens, cache, scores, finished, fin_lens = c
+        ctx_i = _fold_ctx(rng_base, ctx.train, i)
+        cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+        x = M.text_embed(p["prenet"], ctx_i, cur, cfg)
+        x = M.positional_encoding(ctx_i, x, offset=i)
+        h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
+                                  cfg.nhead, cfg.d_drop,
+                                  scan_layers=cfg.scan_layers)
+        logits = M.text_postnet(p["postnet"], ctx_i, h, cfg)[:, -1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # frozen beams: only EOS continuation, no score change
+        v = logp.shape[-1]
+        frozen = jnp.full((v,), -1e9).at[EOS_IDX].set(0.0)
+        logp = jnp.where(finished[:, None], frozen[None, :], logp)
+        cand = scores[:, None] + logp                    # [B*K, V]
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k)     # [B, K]
+        src_beam = top_idx // v                          # [B, K] in 0..K-1
+        tok = (top_idx % v).astype(jnp.int32)
+        flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)
+        # reorder beam-wise; cross K/V are identical across beams of one
+        # batch element (memory was repeated), so only self caches move
+        tokens = tokens[flat_src]
+        cache = T.DecodeCache(
+            jnp.take(cache.self_k, flat_src, axis=1),
+            jnp.take(cache.self_v, flat_src, axis=1),
+            cache.cross_k, cache.cross_v)
+        finished = finished[flat_src]
+        fin_lens = fin_lens[flat_src]
+        scores = top_scores.reshape(-1)
+        tok = tok.reshape(-1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, tok[:, None], i + 1, axis=1)
+        newly = jnp.logical_and(tok == EOS_IDX, ~finished)
+        fin_lens = jnp.where(newly, i + 1, fin_lens)
+        finished = jnp.logical_or(finished, tok == EOS_IDX)
+        return (i + 1, tokens, cache, scores, finished, fin_lens)
+
+    _, tokens, _, scores, finished, fin_lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, cache, scores, finished, fin_lens))
+
+    # pick best beam per batch element under GNMT length normalization
+    lp = ((5.0 + fin_lens.astype(jnp.float32)) / 6.0) ** length_penalty
+    norm = (scores / lp).reshape(b, k)
+    best = jnp.argmax(norm, axis=-1)                     # [B]
+    flat_best = jnp.arange(b) * k + best
+    res = tokens[flat_best][:, 1:]
+    stop_lens = fin_lens[flat_best]
     res = res * M.lens_to_mask(stop_lens, max_len).astype(res.dtype)
     return res, stop_lens
 
