@@ -120,3 +120,22 @@ class TestPhonemizer:
     def test_deterministic(self):
         t = "The quick brown fox jumps over 12 lazy dogs."
         assert raw_text_to_phoneme_ids(t) == raw_text_to_phoneme_ids(t)
+
+
+def test_cmudict_wrapper():
+    import io
+    from unast_tpu.text.cmudict import CMUDict
+    data = io.StringIO(
+        "HELLO  HH AH0 L OW1\n"
+        "HELLO(1)  HH EH0 L OW1\n"
+        "WORLD  W ER1 L D\n"
+        ";;; comment line\n"
+        "BADSYM  Q9 X7\n")
+    d = CMUDict(data)
+    assert len(d) == 2
+    assert d.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+    assert d.lookup("WORLD") == ["W ER1 L D"]
+    assert d.lookup("missing") is None
+    data.seek(0)
+    d2 = CMUDict(data, keep_ambiguous=False)
+    assert d2.lookup("hello") is None and d2.lookup("world") is not None
