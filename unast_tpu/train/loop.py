@@ -110,6 +110,28 @@ def train(args):
                                 val_batches)
     log_loss_metrics(eval_losses, s_epoch - 1, eval_=True)
 
+    # Host-side prefetch: the next step's batches are collated on a worker
+    # thread while the device runs the current step (the reference gets the
+    # same overlap from DataLoader workers, src/train.py:37-54).
+    import queue as _queue
+    import threading
+
+    prefetch_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    stop_prefetch = threading.Event()
+
+    def _producer():
+        while not stop_prefetch.is_set():
+            b = batch_getter.step_batches(args, cfg.use_discriminator)
+            while not stop_prefetch.is_set():
+                try:
+                    prefetch_q.put(b, timeout=0.5)
+                    break
+                except _queue.Full:
+                    continue
+
+    producer = threading.Thread(target=_producer, daemon=True)
+    producer.start()
+
     rng = jax.random.PRNGKey(args.seed + 17)
     step_count = s_epoch * args.epoch_steps
     for epoch in range(s_epoch, args.epochs):
@@ -117,7 +139,7 @@ def train(args):
         t0 = time.time()
         with maybe_profile(args.profile_dir if epoch == s_epoch else None):
             for s in range(args.epoch_steps):
-                batches = batch_getter.step_batches(args, cfg.use_discriminator)
+                batches = prefetch_q.get()
                 batches = _b_shard(jax.tree_util.tree_map(jnp.asarray, batches))
                 step_rng = jax.random.fold_in(rng, step_count)
                 ts, metrics = train_step(ts, step_rng, batches)
@@ -159,6 +181,7 @@ def train(args):
         if args.save_every and (epoch + 1) % args.save_every == 0:
             save_ckp(epoch, per, ts, per < best, args.checkpoint_path,
                      epoch_save=True, rng=step_rng)
+    stop_prefetch.set()
     writer.close()
     return ts, best
 
