@@ -1,0 +1,44 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from unast_tpu.train.config import parse_with_config, model_config_from_args
+from unast_tpu.train.steps import init_train_state, make_train_step
+from unast_tpu.data.batching import BatchGetter, BatchIterator
+from unast_tpu.data.dataset import SyntheticSpeechDataset
+from unast_tpu.infer.metrics import compute_per
+from unast_tpu.models import unast as U
+from unast_tpu import nn
+
+args = parse_with_config([
+    "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
+    "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
+    "--nhead", "2", "--use_discriminator", "false",
+    "--max_mel_len", "112", "--max_text_len", "32",
+    "--data_mel_len", "112", "--data_text_len", "32",
+    "--ae_steps", "0", "--cm_steps", "0", "--sp_steps", "2", "--d_steps", "0",
+    "--train_batch_size", "4", "--sched_type", "multistep", "--lr", "1e-3",
+    "--optim_type", "adamw", "--compute_dtype", "bfloat16"])
+cfg = model_config_from_args(args)
+ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.04)
+bg = BatchGetter(args, ds, ds, ds)
+ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
+
+def per(ts):
+    it = BatchIterator(ds, 4, 32, 112, seed=9)
+    b = it.next_batch()
+    (ids, lens), _ = U.asr(ts.params, ts.net_state, nn.Ctx.eval(), cfg,
+                           None, None, jnp.asarray(b["mel"]),
+                           jnp.asarray(b["mel_len"]), infer=True)
+    return compute_per(b["text"], np.asarray(ids), b["text_len"],
+                       np.asarray(lens))
+
+print("untrained PER:", round(per(ts), 3))
+rng = jax.random.PRNGKey(1)
+for s in range(1200):
+    batches = jax.tree_util.tree_map(jnp.asarray, bg.step_batches(args, False))
+    ts, m = step(ts, jax.random.fold_in(rng, s), batches)
+    if (s + 1) % 100 == 0:
+        print(f"step {s+1}: asr {float(m['sp/asr']):.3f} "
+              f"PER {per(ts):.3f}")
+print("final PER:", round(per(ts), 3))
