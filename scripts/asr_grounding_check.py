@@ -1,5 +1,10 @@
-import sys, time
-sys.path.insert(0, "/root/repo")
+"""Supervised grounding gate: train ONLY the paired objective on a tiny
+synthetic set; greedy ASR must reach PER ~0 and greedy TTS must reconstruct
+the gold mel (masked MSE ~ teacher-forced level). Validates the full
+DSP -> encoder -> cross-attention -> KV-cached greedy decode path on real
+hardware. Run: python scripts/asr_grounding_check.py"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from unast_tpu.train.config import parse_with_config, model_config_from_args
 from unast_tpu.train.steps import init_train_state, make_train_step
@@ -33,6 +38,25 @@ def per(ts):
     return compute_per(b["text"], np.asarray(ids), b["text_len"],
                        np.asarray(lens))
 
+
+def tts_infer_mse(ts):
+    """Greedy TTS mel vs gold, masked to the overlap of stop_len/gold len."""
+    it = BatchIterator(ds, 4, 32, 112, seed=9)
+    b = it.next_batch()
+    (pre, post, stops, stop_lens), _ = U.tts(
+        ts.params, ts.net_state, nn.Ctx.eval(), cfg,
+        jnp.asarray(b["text"]), jnp.asarray(b["text_len"]), None, None,
+        infer=True)
+    post = np.asarray(post, np.float32)
+    gold = b["mel"]
+    errs, lens = [], []
+    for i in range(len(gold)):
+        n = min(int(stop_lens[i]), int(b["mel_len"][i]))
+        if n > 0:
+            errs.append(np.mean((post[i, :n] - gold[i, :n]) ** 2))
+            lens.append((int(stop_lens[i]), int(b["mel_len"][i])))
+    return float(np.mean(errs)), lens
+
 print("untrained PER:", round(per(ts), 3))
 rng = jax.random.PRNGKey(1)
 for s in range(1200):
@@ -42,3 +66,5 @@ for s in range(1200):
         print(f"step {s+1}: asr {float(m['sp/asr']):.3f} "
               f"PER {per(ts):.3f}")
 print("final PER:", round(per(ts), 3))
+mse, lens = tts_infer_mse(ts)
+print(f"greedy TTS infer mel MSE: {mse:.4f}  (stop_len, gold_len) pairs: {lens}")
