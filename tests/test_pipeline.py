@@ -184,3 +184,17 @@ def test_train_loop_sharded_dp_tp():
     from unast_tpu.train.loop import train
     ts, best = train(a)
     assert os.path.exists(os.path.join(a.checkpoint_path, "metrics.jsonl"))
+
+
+def test_train_resume_from_checkpoint(args):
+    """Resume semantics: load_path restores epoch/best and training
+    continues from there (reference src/train.py:936-942)."""
+    from unast_tpu.train.loop import train
+    ckpt = os.path.join(args.checkpoint_path, "model_most_recent.ckpt")
+    assert os.path.exists(ckpt), "run after test_train_loop_and_checkpoint"
+    a2 = parse_with_config(CFG_ARGV + ["--epochs", "2"])
+    a2.checkpoint_path = args.checkpoint_path
+    a2.load_path = ckpt
+    ts, best = train(a2)  # resumes at epoch 1, runs one more epoch
+    meta = json.load(open(ckpt + ".meta.json"))
+    assert meta["epoch"] == 2
