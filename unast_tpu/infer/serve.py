@@ -40,13 +40,16 @@ class Synthesizer:
         self.cfg = cfg
         self.vocoder_pv = vocoder_pv
         self.audio_params = audio_params
-        self.text_buckets = sorted(b for b in text_buckets
-                                   if b <= cfg.max_text_len) or [cfg.max_text_len]
-        self.mel_buckets = sorted(b for b in mel_buckets
-                                  if b <= cfg.max_mel_len) or [cfg.max_mel_len]
+        # clamp (not drop) buckets above the model caps, so long requests
+        # still get the full-capacity bucket
+        self.text_buckets = sorted({min(b, cfg.max_text_len)
+                                    for b in text_buckets})
+        self.mel_buckets = sorted({min(b, cfg.max_mel_len)
+                                   for b in mel_buckets})
         self.max_batch = max_batch
-        self._tts_fn = jax.jit(self._tts_impl, static_argnums=())
-        self._asr_fn = jax.jit(self._asr_impl, static_argnums=())
+        self._tts_fn = jax.jit(self._tts_impl)
+        self._asr_fn = jax.jit(self._asr_impl)
+        self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
 
     @classmethod
@@ -141,10 +144,9 @@ class Synthesizer:
                 mel[i, :len(m)] = m
                 lens[i] = len(m)
             if beam > 1:
-                ids, stop_lens = jax.jit(
-                    self._asr_beam_impl, static_argnums=(4,))(
-                        self.params, self.net_state, jnp.asarray(mel),
-                        jnp.asarray(lens), beam)
+                ids, stop_lens = self._asr_beam_fn(
+                    self.params, self.net_state, jnp.asarray(mel),
+                    jnp.asarray(lens), beam)
             else:
                 ids, stop_lens = self._asr_fn(self.params, self.net_state,
                                               jnp.asarray(mel),

@@ -31,11 +31,6 @@ def lens_to_mask(lens, max_len: int):
     return pos < lens[:, None]
 
 
-def causal_mask(t: int):
-    """bool [t, t], True = attendable (position j <= i)."""
-    return jnp.tril(jnp.ones((t, t), dtype=bool))
-
-
 def noise_fn(ctx: nn.Ctx, x, mask_p: float = 0.3):
     """DAE input noising: Bernoulli time-step zero-masking
     (reference noise_fn, src/utils.py:40-49). x: [B, T, D] of any dtype."""
@@ -164,8 +159,12 @@ def text_prenet_init(key, cfg: ModelConfig):
 
 def text_embed(p, ctx: nn.Ctx, ids, cfg: ModelConfig):
     """ids -> dropped-out embeddings (the reference's emb_dropout half).
-    Casts to cfg.dtype — the bf16 activation entry point for text paths."""
+    Casts to cfg.dtype — the bf16 activation entry point for text paths.
+    PAD positions are masked to zero, which both matches torch's
+    padding_idx semantics (output zero) and keeps the PAD row's gradient
+    zero so it never drifts from its zero init."""
     emb = nn.embedding(p["embed"], ids).astype(cfg.dtype)
+    emb = emb * (ids != PAD_IDX)[..., None].astype(emb.dtype)
     return nn.dropout(ctx, emb, cfg.t_pre_drop)
 
 

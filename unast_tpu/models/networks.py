@@ -420,8 +420,7 @@ def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
     tokens = jnp.full((b, max_len), PAD_IDX, jnp.int32)
     stop_lens = jnp.full((b,), max_len, jnp.int32)
     bufs = M.text_prenet_step_init(p["prenet"], b, cfg, enc_out.dtype)
-    sos_emb = M.text_embed(p["prenet"], nn.Ctx.eval(),
-                           jnp.full((b,), SOS_IDX), cfg)
+    sos_emb = M.text_embed(p["prenet"], ctx, jnp.full((b,), SOS_IDX), cfg)
     attn0 = _init_attn_state(p, cfg, enc_out)
     rng_base = _loop_base(ctx)
 
@@ -443,7 +442,7 @@ def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
             tokens, choice[:, None], i, axis=1)
         newly = jnp.logical_and(choice == EOS_IDX, stop_lens == max_len)
         stop_lens = jnp.where(newly, i + 1, stop_lens)
-        cur_emb = M.text_embed(p["prenet"], nn.Ctx.eval(), choice, cfg)
+        cur_emb = M.text_embed(p["prenet"], ctx_i, choice, cfg)
         return (i + 1, tokens, cur_emb, bufs, hc, attn, stop_lens)
 
     _, tokens, _, _, _, _, stop_lens = jax.lax.while_loop(

@@ -121,6 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
     add("--profile_dir", type=str, default=None,
         help="write jax.profiler traces here (observability hook)")
+    add("--param_sum_metric", type=lambda s: s.lower() != "false",
+        default=False, help="log sum|params| per step (reference TB metric)")
     add("--log_every", type=int, default=1,
         help="fetch+log train metrics every N steps (async dispatch means "
              "the host metric fetch is the per-step sync point)")

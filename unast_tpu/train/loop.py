@@ -121,13 +121,18 @@ def train(args):
 
     def _producer():
         while not stop_prefetch.is_set():
-            b = batch_getter.step_batches(args, cfg.use_discriminator)
+            try:
+                b = batch_getter.step_batches(args, cfg.use_discriminator)
+            except Exception as e:  # surface data errors in the main thread
+                b = e
             while not stop_prefetch.is_set():
                 try:
                     prefetch_q.put(b, timeout=0.5)
                     break
                 except _queue.Full:
                     continue
+            if isinstance(b, Exception):
+                return
 
     producer = threading.Thread(target=_producer, daemon=True)
     producer.start()
@@ -140,6 +145,8 @@ def train(args):
         with maybe_profile(args.profile_dir if epoch == s_epoch else None):
             for s in range(args.epoch_steps):
                 batches = prefetch_q.get()
+                if isinstance(batches, Exception):
+                    raise batches
                 batches = _b_shard(jax.tree_util.tree_map(jnp.asarray, batches))
                 step_rng = jax.random.fold_in(rng, step_count)
                 ts, metrics = train_step(ts, step_rng, batches)

@@ -292,8 +292,12 @@ def make_train_step(cfg: ModelConfig, args):
         if disc_params is not None:
             new_params["discriminator"] = disc_params
 
-        metrics["param_sum"] = sum(
-            jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(new_params))
+        if getattr(args, "param_sum_metric", False):
+            # reference logs sum|params| per step (src/train.py:646-651);
+            # an O(params) reduction, so opt-in
+            metrics["param_sum"] = sum(
+                jnp.sum(jnp.abs(x))
+                for x in jax.tree_util.tree_leaves(new_params))
         new_ts = TrainState(new_params, net_state, gen_opt, disc_opt,
                             ts.step + 1)
         return new_ts, metrics
