@@ -17,13 +17,13 @@ if [ ! -d LJSpeech-1.1 ]; then
 fi
 
 cd - >/dev/null
-echo "[get_dataset] creating splits (12500/12300/200/300/300)..."
+echo "[get_dataset] staging the reference split CSVs (12500/12300/200/300/300)..."
 python - <<EOF
-from unast_tpu.data.dataset import load_manifest
-from unast_tpu.data.splits import make_splits, write_splits
-rows = load_manifest("$DATA_DIR/LJSpeech-1.1/metadata.csv")
-write_splits(make_splits(rows, seed=0), "$DATA_DIR/LJSpeech-1.1/splits")
-print("splits written")
+import shutil
+from unast_tpu.data.splits import REFERENCE_SPLITS_DIR
+shutil.copytree(REFERENCE_SPLITS_DIR, "$DATA_DIR/LJSpeech-1.1/splits",
+                dirs_exist_ok=True)
+print("splits staged from", REFERENCE_SPLITS_DIR)
 EOF
 
 echo "[get_dataset] building mel/mag cache..."

@@ -186,6 +186,46 @@ def test_train_loop_sharded_dp_tp():
     assert os.path.exists(os.path.join(a.checkpoint_path, "metrics.jsonl"))
 
 
+def test_all_configs_parse():
+    """Every shipped config parses and yields a valid ModelConfig; covers
+    the reference's full 18-file design space incl. rnn_d.json,
+    transformer_d_test.json, and the default train.json
+    (src/configs/*.json, src/train.json)."""
+    import glob
+    from unast_tpu.models import unast as U
+    names = sorted(glob.glob("configs/*.json"))
+    assert len(names) >= 19
+    for name in names:
+        a = parse_with_config(["--config", name])
+        cfg = model_config_from_args(a)
+        assert cfg.hidden > 0 and cfg.model_type in ("transformer", "rnn")
+    # the three round-2 additions are present
+    base = {os.path.basename(n) for n in names}
+    assert {"rnn_d.json", "transformer_d_test.json", "train.json"} <= base
+
+
+def test_reference_splits_shipped():
+    """The reference's exact split membership ships in-package
+    (src/data/splits/*.csv, 25,600 rows): sizes match, labeled/unlabeled
+    partition full_train, and val/test are disjoint from it."""
+    from unast_tpu.data.dataset import load_manifest
+    from unast_tpu.data.splits import REFERENCE_SPLITS_DIR, SPLIT_SIZES
+
+    rows = {}
+    for name, size in SPLIT_SIZES.items():
+        path = os.path.join(REFERENCE_SPLITS_DIR, name + ".csv")
+        rows[name] = load_manifest(path)
+        assert len(rows[name]) == size, (name, len(rows[name]))
+    ids = {k: {fid for fid, _ in v} for k, v in rows.items()}
+    assert ids["labeled_train"] | ids["unlabeled_train"] == ids["full_train"]
+    assert not ids["labeled_train"] & ids["unlabeled_train"]
+    assert not ids["val"] & ids["full_train"]
+    assert not ids["test"] & ids["full_train"]
+    assert not ids["val"] & ids["test"]
+    # spot-check exact identity of the first labeled utterance
+    assert rows["labeled_train"][0][0] == "LJ011-0287"
+
+
 def test_train_resume_from_checkpoint(args):
     """Resume semantics: load_path restores epoch/best and training
     continues from there (reference src/train.py:936-942)."""

@@ -1,12 +1,22 @@
 """Dataset splits — parity with src/data/splits/*.csv: from the 13,100-row
 LJSpeech manifest, 12,500 full_train / 12,300 unlabeled_train / 200
 labeled_train / 300 val / 300 test (SURVEY.md §2.1 #11; created by the
-reference's sampling notebook, src/creating_dataset_splits.ipynb)."""
+reference's sampling notebook, src/creating_dataset_splits.ipynb).
+
+The reference's EXACT split membership is shipped verbatim (data, not
+code) in `unast_tpu/data/splits/*.csv` — which 200 utterances are
+"labeled" defines the semi-supervised experimental setup, so identity
+matters; `REFERENCE_SPLITS_DIR` points at them and is the default when
+no on-disk splits dir exists. `make_splits` remains for building seeded
+splits of other corpora."""
 
 import os
 from typing import Dict, List, Tuple
 
 import numpy as np
+
+#: The reference's exact split CSVs (src/data/splits/), shipped verbatim.
+REFERENCE_SPLITS_DIR = os.path.join(os.path.dirname(__file__), "splits")
 
 SPLIT_SIZES = {"full_train": 12500, "unlabeled_train": 12300,
                "labeled_train": 200, "val": 300, "test": 300}

@@ -35,7 +35,13 @@ def initialize_datasets(args):
             "full": mk(4, size),
             "test": mk(5, max(2, size // 8)),
         }
-    splits_dir = args.splits_dir or os.path.join(args.data_path, "splits")
+    # Default split identity = the reference's exact CSVs (shipped in-package)
+    # unless the user staged their own under <data_path>/splits or passed
+    # --splits_dir explicitly.
+    from ..data.splits import REFERENCE_SPLITS_DIR
+    local = os.path.join(args.data_path, "splits")
+    splits_dir = args.splits_dir or (
+        local if os.path.isdir(local) else REFERENCE_SPLITS_DIR)
     cache_dir = os.path.join(args.data_path, "mel_cache")
     ds = lambda name: LJSpeechDataset(
         os.path.join(splits_dir, name + ".csv"), cache_dir)
