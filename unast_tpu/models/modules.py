@@ -82,10 +82,13 @@ def speech_prenet_init(key, cfg: ModelConfig):
 
 
 def speech_prenet(p, ctx: nn.Ctx, x, cfg: ModelConfig):
+    """Reference quirk reproduced: SpeechPrenet's Sequential is built from an
+    OrderedDict with a DUPLICATE 'dropout2' key (src/module.py:95-102), so the
+    second Dropout replaces the first entry's value in place — the effective
+    stack is fc1 -> relu -> dropout -> fc2 -> relu with NO trailing dropout."""
     x = x.astype(cfg.dtype)  # bf16 activation entry point for speech paths
     x = nn.dropout(ctx, jax.nn.relu(nn.linear(p["fc1"], x)), cfg.s_pre_drop)
-    x = nn.dropout(ctx, jax.nn.relu(nn.linear(p["fc2"], x)), cfg.s_pre_drop)
-    return x
+    return jax.nn.relu(nn.linear(p["fc2"], x))
 
 
 # ---------------------------------------------------------------------------

@@ -100,10 +100,19 @@ def _gold(batch):
     return text, mel, text_len, mel_len, gold_stop
 
 
+def _obj_ctx(rng, args) -> nn.Ctx:
+    """Objective-forward context. Training uses train=True (dropout, DAE
+    noise, SpecAugment, batch BN stats). tests/test_ref_parity.py sets
+    args.objective_eval_mode=True to compare the exact objective composition
+    against the reference implementation deterministically (both sides in
+    eval mode with augmentation disabled)."""
+    return nn.Ctx(rng=rng, train=not getattr(args, "objective_eval_mode", False))
+
+
 def ae_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Denoising AE objective (src/train.py:199-229)."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
-    ctx = nn.Ctx(rng=rng, train=True)
+    ctx = _obj_ctx(rng, args)
     aux = {}
     if cfg.use_discriminator:
         (logits, t_lat, t_l, _), st = U.text_ae(params, net_state, ctx, cfg,
@@ -128,9 +137,10 @@ def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Supervised paired objective with SpecAugment on the ASR input only
     (src/train.py:231-259)."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
-    ctx = nn.Ctx(rng=rng, train=True)
-    mel_aug = specaugment(ctx.next_rng(), mel, mel_len,
-                          cfg.spec_freq_mask, cfg.spec_time_mask)
+    ctx = _obj_ctx(rng, args)
+    mel_aug = (mel if not ctx.train else
+               specaugment(ctx.next_rng(), mel, mel_len,
+                           cfg.spec_freq_mask, cfg.spec_time_mask))
     aux = {}
     if cfg.use_discriminator:
         (pre, post, stop, _, t_lat), st = U.tts(params, net_state, ctx, cfg,
@@ -158,7 +168,7 @@ def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Back-translation objective (src/train.py:261-294). The greedy
     pseudo-pair inference runs inside the jitted step with stop_gradient."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
-    ctx = nn.Ctx(rng=rng, train=True)
+    ctx = _obj_ctx(rng, args)
     infer_mel = getattr(args, "cm_infer_mel_len", None) or cfg.max_mel_len
     infer_text = getattr(args, "cm_infer_text_len", None) or cfg.max_text_len
     aux = {}
@@ -191,7 +201,7 @@ def disc_loss_fn(disc_params, gen_params, net_state, rng, batch,
     """Discriminator training objective on detached encodings with TRUE
     labels (src/train.py:337-354)."""
     text, mel, text_len, mel_len, _ = _gold(batch)
-    ctx = nn.Ctx(rng=rng, train=True)
+    ctx = _obj_ctx(rng, args)
     params = dict(gen_params, discriminator=disc_params)
     (t_enc, _), _ = N.text_encode(params["text_m"], net_state["text_m"],
                                   ctx, cfg, text, text_len)
