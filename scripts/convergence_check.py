@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--preset", default="small", choices=["small", "full"],
                     help="'full' trains the flagship d=256/4L model")
     ap.add_argument("--report", default=None, help="write JSON report here")
+    ap.add_argument("--ga_weight", type=float, default=0.0,
+                    help="guided-attention loss weight (transformer lever)")
+    ap.add_argument("--steps_per_log", type=int, default=10)
     known = ap.parse_args(argv)
 
     if known.preset == "full":
@@ -63,6 +66,7 @@ def main(argv=None):
             "--d_steps", "1", "--train_batch_size", "8",
             "--sched_type", "multistep", "--lr", "1e-3",
             "--optim_type", "adamw", "--compute_dtype", "bfloat16"]
+    argv_cfg += ["--ga_weight", str(known.ga_weight)]
     args = parse_with_config(argv_cfg)
     cfg = model_config_from_args(args)
 
@@ -109,7 +113,7 @@ def main(argv=None):
         if first is None:
             first = host
         last = host
-        if (s + 1) % 10 == 0:
+        if (s + 1) % known.steps_per_log == 0:
             print(f"step {s + 1}: t_ae {host['ae/t_ae']:.3f} "
                   f"s_ae {host['ae/s_ae']:.3f} asr {host['sp/asr']:.3f} "
                   f"tts {host['sp/tts']:.3f}")

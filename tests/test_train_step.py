@@ -265,3 +265,47 @@ def test_schedules_match_torch_lambdalr():
     np.testing.assert_allclose(float(mine(0)), lr)
     np.testing.assert_allclose(float(mine(150)), lr * 0.1, rtol=1e-6)
     np.testing.assert_allclose(float(mine(250)), lr * 0.01, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Guided attention (capability add, VERDICT r1 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_guided_attention_loss_prefers_diagonal():
+    B, H, Tq, Tk = 2, 2, 8, 12
+    q_len = jnp.array([8, 6])
+    k_len = jnp.array([12, 9])
+    # diagonal attention: q attends k = round(q * Kl / Ql)
+    diag = np.zeros((B, H, Tq, Tk), np.float32)
+    anti = np.zeros((B, H, Tq, Tk), np.float32)
+    for b, (ql, kl) in enumerate([(8, 12), (6, 9)]):
+        for q in range(ql):
+            diag[b, :, q, int(q * kl / ql)] = 1.0
+            anti[b, :, q, kl - 1 - int(q * kl / ql)] = 1.0
+    l_diag = float(L.guided_attention_loss(jnp.asarray(diag), q_len, k_len))
+    l_anti = float(L.guided_attention_loss(jnp.asarray(anti), q_len, k_len))
+    assert l_diag < 0.02
+    assert l_anti > 10 * max(l_diag, 1e-6)
+    # stacked layer axis broadcasts
+    stacked = jnp.stack([jnp.asarray(diag)] * 3)
+    l_stacked = float(L.guided_attention_loss(stacked, q_len, k_len))
+    np.testing.assert_allclose(l_stacked, l_diag, rtol=1e-6)
+
+
+def test_train_step_with_guided_attention():
+    """ga_weight>0 runs the full jitted step, reports a finite ga metric,
+    and leaves the parity objective intact when 0."""
+    argv = ["--config", "configs/transformer_test.json",
+            "--ga_weight", "0.5", "--synthetic"]
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(jnp.asarray, bg.step_batches(args, True))
+    step = jax.jit(make_train_step(cfg, args))
+    ts2, m = step(ts, jax.random.PRNGKey(1), batches)
+    assert np.isfinite(float(m["sp/ga_sp"])) and float(m["sp/ga_sp"]) > 0
+    assert np.isfinite(float(m["ae/ga_ae"]))
+    assert np.isfinite(float(m["grad_norm"]))

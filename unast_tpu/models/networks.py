@@ -89,7 +89,7 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
 
 
 def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
-                            memory, mem_pad_mask):
+                            memory, mem_pad_mask, cross_weights_out=None):
     """Teacher-forced parallel decode -> logits [B, T, V]. The text decoder
     input path embeds WITHOUT the conv stack (reference preprocess_decode,
     src/network.py:435-438), so no BN state is touched."""
@@ -100,7 +100,8 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
-                  scan_layers=cfg.scan_layers)
+                  scan_layers=cfg.scan_layers,
+                  cross_weights_out=cross_weights_out)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
 
@@ -270,7 +271,7 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
 
 
 def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
-                              memory, mem_pad_mask):
+                              memory, mem_pad_mask, cross_weights_out=None):
     """Teacher-forced decode with zero-frame "go" shift (src/network.py:261).
     Returns ((pre [B,T,80], post, stop [B,T], tgt_lens), new_state)."""
     b = tgt.shape[0]
@@ -281,7 +282,8 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
-                  scan_layers=cfg.scan_layers)
+                  scan_layers=cfg.scan_layers,
+                  cross_weights_out=cross_weights_out)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
     return (pre, pre + resid, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
@@ -580,18 +582,24 @@ def speech_encode(p, s, ctx, cfg, mel, lens, noise_in=False):
     return fn(p, s, ctx, cfg, mel, lens, noise_in)
 
 
-def text_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask):
+def text_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask,
+                         cross_weights_out=None):
     if cfg.model_type == "transformer":
-        return text_tr_decode_sequence(p, ctx, cfg, tgt, tgt_lens,
-                                       memory, mem_mask), s
+        return text_tr_decode_sequence(
+            p, ctx, cfg, tgt, tgt_lens, memory, mem_mask,
+            cross_weights_out=cross_weights_out), s
     return text_rnn_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens,
                                     memory, mem_mask)
 
 
-def speech_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask):
-    fn = (speech_tr_decode_sequence if cfg.model_type == "transformer"
-          else speech_rnn_decode_sequence)
-    return fn(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask)
+def speech_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask,
+                           cross_weights_out=None):
+    if cfg.model_type == "transformer":
+        return speech_tr_decode_sequence(
+            p, s, ctx, cfg, tgt, tgt_lens, memory, mem_mask,
+            cross_weights_out=cross_weights_out)
+    return speech_rnn_decode_sequence(p, s, ctx, cfg, tgt, tgt_lens,
+                                      memory, mem_mask)
 
 
 def text_infer(p, s, ctx, cfg, memory, mem_mask, max_len=None):

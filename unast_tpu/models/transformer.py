@@ -51,9 +51,12 @@ def _split_heads(x, nhead: int):
     return x.reshape(b, t, nhead, d // nhead)
 
 
-def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float):
+def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float,
+                   weights_out=None):
     """q: [B, Tq, H, Dh], k/v: [B, Tk, H, Dh], bias: [B|1, 1|H, Tq, Tk] additive.
-    Returns [B, Tq, H, Dh]. Scores accumulate in f32."""
+    Returns [B, Tq, H, Dh]. Scores accumulate in f32. If `weights_out` is a
+    list, the pre-dropout f32 attention probs [B, H, Tq, Tk] are appended
+    (used by the guided-attention loss, train/losses.py)."""
     dh = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -61,6 +64,8 @@ def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float):
     if bias is not None:
         scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1)
+    if weights_out is not None:
+        weights_out.append(w)
     w = nn.dropout(ctx, w, dropout_p)
     out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
@@ -68,19 +73,22 @@ def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float):
 
 
 def mha(p, ctx: nn.Ctx, q_in, kv_in, bias, nhead: int, dropout_p: float,
-        impl: str = "xla", kv_lens=None, causal: bool = False):
+        impl: str = "xla", kv_lens=None, causal: bool = False,
+        weights_out=None):
     """Full (non-cached) attention. q_in: [B, Tq, D], kv_in: [B, Tk, D].
     impl='flash' routes through the Pallas flash-attention kernel
     (ops/attention.py) using (kv_lens, causal) instead of the additive bias;
-    attention-weight dropout is not applied on that path."""
+    attention-weight dropout is not applied on that path (and weights_out is
+    unavailable — flash never materializes the probs)."""
     q = _split_heads(nn.linear(p["q"], q_in), nhead)
     k = _split_heads(nn.linear(p["k"], kv_in), nhead)
     v = _split_heads(nn.linear(p["v"], kv_in), nhead)
-    if impl == "flash":
+    if impl == "flash" and weights_out is None:
         from ..ops import flash_attention
         o = flash_attention(q, k, v, kv_lens, causal=causal)
     else:
-        o = attention_core(q, k, v, bias, ctx, dropout_p)
+        o = attention_core(q, k, v, bias, ctx, dropout_p,
+                           weights_out=weights_out)
     b, t, h, dh = o.shape
     return nn.linear(p["out"], o.reshape(b, t, h * dh))
 
@@ -198,12 +206,12 @@ def decoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int):
 
 def decoder_layer(p, ctx: nn.Ctx, x, memory, self_bias, cross_bias,
                   nhead: int, dropout_p: float, impl: str = "xla",
-                  tgt_lens=None, mem_lens=None):
+                  tgt_lens=None, mem_lens=None, cross_weights_out=None):
     a = mha(p["self"], ctx, x, x, self_bias, nhead, dropout_p,
             impl=impl, kv_lens=tgt_lens, causal=True)
     x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
     a = mha(p["cross"], ctx, x, memory, cross_bias, nhead, dropout_p,
-            impl=impl, kv_lens=mem_lens)
+            impl=impl, kv_lens=mem_lens, weights_out=cross_weights_out)
     x = nn.layernorm(p["ln2"], x + nn.dropout(ctx, a, dropout_p))
     f = _ffn(p, ctx, x, dropout_p)
     return nn.layernorm(p["ln3"], x + nn.dropout(ctx, f, dropout_p))
@@ -216,8 +224,11 @@ def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
 
 def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
             nhead: int, dropout_p: float, impl: str = "xla",
-            scan_layers: bool = False):
-    """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D]."""
+            scan_layers: bool = False, cross_weights_out=None):
+    """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D].
+    If `cross_weights_out` is a list, per-layer cross-attention probs
+    [B, H, Tt, Ts] (f32) are appended — consumed by the guided-attention
+    loss."""
     t = x.shape[1]
     self_bias = causal_bias(t) + padding_bias(tgt_pad_mask)
     cross_bias = padding_bias(mem_pad_mask)
@@ -229,7 +240,8 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
         for lp in p["layers"]:
             x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
                               nhead, dropout_p, impl=impl,
-                              tgt_lens=tgt_lens, mem_lens=mem_lens)
+                              tgt_lens=tgt_lens, mem_lens=mem_lens,
+                              cross_weights_out=cross_weights_out)
         return x
 
     stacked = _stack_layers(p["layers"])
@@ -238,12 +250,16 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
 
     def body(x, xs):
         lp, li = xs
+        ws = [] if cross_weights_out is not None else None
         y = decoder_layer(lp, _layer_ctx(rng_base, ctx.train, li), x, memory,
                           self_bias, cross_bias, nhead, dropout_p, impl=impl,
-                          tgt_lens=tgt_lens, mem_lens=mem_lens)
-        return y, None
+                          tgt_lens=tgt_lens, mem_lens=mem_lens,
+                          cross_weights_out=ws)
+        return y, (ws[0] if ws is not None else jnp.zeros((), x.dtype))
 
-    x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
+    x, ws = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
+    if cross_weights_out is not None:
+        cross_weights_out.extend(ws)  # stacked [L, B, H, Tt, Ts] unbinds
     return x
 
 

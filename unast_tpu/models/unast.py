@@ -67,12 +67,13 @@ def _latent(enc_outputs, cfg: ModelConfig):
 
 
 def text_ae(params, state, ctx, cfg: ModelConfig, text, text_len,
-            ret_enc_hid=False):
+            ret_enc_hid=False, cross_weights_out=None):
     """Denoising text autoencoder (src/network.py:98-99)."""
     (enc, mask), ts = N.text_encode(params["text_m"], state["text_m"], ctx,
                                     cfg, text, text_len, noise_in=True)
     logits, ts = N.text_decode_sequence(params["text_m"], ts, ctx, cfg,
-                                        text, text_len, enc, mask)
+                                        text, text_len, enc, mask,
+                                        cross_weights_out=cross_weights_out)
     new_state = _merge(state, text_m=ts)
     if ret_enc_hid:
         return (logits, _latent(enc, cfg), text_len, mask), new_state
@@ -80,12 +81,13 @@ def text_ae(params, state, ctx, cfg: ModelConfig, text, text_len,
 
 
 def speech_ae(params, state, ctx, cfg: ModelConfig, mel, mel_len,
-              ret_enc_hid=False):
+              ret_enc_hid=False, cross_weights_out=None):
     """Denoising speech autoencoder (src/network.py:100-101)."""
     (enc, mask), ss = N.speech_encode(params["speech_m"], state["speech_m"],
                                       ctx, cfg, mel, mel_len, noise_in=True)
     (pre, post, stop, lens), ss = N.speech_decode_sequence(
-        params["speech_m"], ss, ctx, cfg, mel, mel_len, enc, mask)
+        params["speech_m"], ss, ctx, cfg, mel, mel_len, enc, mask,
+        cross_weights_out=cross_weights_out)
     new_state = _merge(state, speech_m=ss)
     if ret_enc_hid:
         return (pre, post, stop, _latent(enc, cfg), mel_len, mask), new_state
@@ -138,8 +140,10 @@ def cm_speech_in(params, state, ctx, cfg: ModelConfig, mel, mel_len,
 
 
 def tts(params, state, ctx, cfg: ModelConfig, text, text_len, mel, mel_len,
-        infer=False, ret_enc_hid=False):
-    """text -> mel (src/network.py:125-134)."""
+        infer=False, ret_enc_hid=False, cross_weights_out=None):
+    """text -> mel (src/network.py:125-134). `cross_weights_out` (list)
+    collects the teacher-forced decoder's cross-attention probs for the
+    guided-attention loss (capability add; transformer only)."""
     (t_enc, t_mask), ts = N.text_encode(params["text_m"], state["text_m"],
                                         ctx, cfg, text, text_len)
     if infer:
@@ -148,7 +152,7 @@ def tts(params, state, ctx, cfg: ModelConfig, text, text_len, mel, mel_len,
     else:
         (pre, post, stop, stop_lens), ss = N.speech_decode_sequence(
             params["speech_m"], state["speech_m"], ctx, cfg, mel, mel_len,
-            t_enc, t_mask)
+            t_enc, t_mask, cross_weights_out=cross_weights_out)
     new_state = _merge(state, text_m=ts, speech_m=ss)
     if ret_enc_hid:
         return (pre, post, stop, stop_lens, _latent(t_enc, cfg)), new_state
@@ -156,7 +160,7 @@ def tts(params, state, ctx, cfg: ModelConfig, text, text_len, mel, mel_len,
 
 
 def asr(params, state, ctx, cfg: ModelConfig, text, text_len, mel, mel_len,
-        infer=False, ret_enc_hid=False):
+        infer=False, ret_enc_hid=False, cross_weights_out=None):
     """mel -> text (src/network.py:136-145). infer=True returns
     (ids, stop_lens); else teacher-forced logits."""
     (s_enc, s_mask), ss = N.speech_encode(params["speech_m"],
@@ -168,7 +172,8 @@ def asr(params, state, ctx, cfg: ModelConfig, text, text_len, mel, mel_len,
     else:
         out, ts = N.text_decode_sequence(params["text_m"], state["text_m"],
                                          ctx, cfg, text, text_len,
-                                         s_enc, s_mask)
+                                         s_enc, s_mask,
+                                         cross_weights_out=cross_weights_out)
     new_state = _merge(state, text_m=ts, speech_m=ss)
     if ret_enc_hid:
         return (out, _latent(s_enc, cfg)), new_state

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     # losses
     add("--s_eos_weight", type=float, default=5.0)
     add("--t_eos_weight", type=float, default=1.0)
+    add("--ga_weight", type=float, default=0.0,
+        help="guided-attention diagonal-prior loss weight on teacher-forced "
+             "cross-attention (0 = exact reference objective; transformer "
+             "only)")
+    add("--ga_sigma", type=float, default=0.2,
+        help="guided-attention diagonal bandwidth")
 
     # sequence caps / buckets (TPU static shapes)
     add("--max_mel_len", type=int, default=815)

@@ -109,28 +109,55 @@ def _obj_ctx(rng, args) -> nn.Ctx:
     return nn.Ctx(rng=rng, train=not getattr(args, "objective_eval_mode", False))
 
 
+def _ga_cfg(cfg: ModelConfig, args):
+    """Guided-attention config: (enabled, weight, sigma). Capability add
+    (off by default = exact reference objective): a diagonal prior on the
+    teacher-forced decoder cross-attention that grounds the transformer's
+    cross-modal alignment (VERDICT r1 #2). Transformer-only — the RNN/LSA
+    backbone's location-sensitive attention already encodes the prior."""
+    w = float(getattr(args, "ga_weight", 0.0) or 0.0)
+    enabled = w > 0.0 and cfg.model_type == "transformer"
+    return enabled, w, float(getattr(args, "ga_sigma", 0.2) or 0.2)
+
+
+def _ga_loss(ws, q_len, k_len, sigma):
+    return L.guided_attention_loss(jnp.stack(ws), q_len, k_len, sigma)
+
+
 def ae_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Denoising AE objective (src/train.py:199-229)."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
     ctx = _obj_ctx(rng, args)
+    ga_on, ga_w, ga_sigma = _ga_cfg(cfg, args)
+    t_ws = [] if ga_on else None
+    s_ws = [] if ga_on else None
     aux = {}
     if cfg.use_discriminator:
         (logits, t_lat, t_l, _), st = U.text_ae(params, net_state, ctx, cfg,
-                                                text, text_len, ret_enc_hid=True)
+                                                text, text_len, ret_enc_hid=True,
+                                                cross_weights_out=t_ws)
         (pre, post, stop, s_lat, s_l, _), st = U.speech_ae(
-            params, st, ctx, cfg, mel, mel_len, ret_enc_hid=True)
+            params, st, ctx, cfg, mel, mel_len, ret_enc_hid=True,
+            cross_weights_out=s_ws)
         d_loss = _disc_adv_loss(params, ctx, ctx.next_rng(), cfg,
                                 t_lat, t_l, s_lat, s_l)
         aux["d_ae"] = d_loss
     else:
-        logits, st = U.text_ae(params, net_state, ctx, cfg, text, text_len)
-        (pre, post, stop), st = U.speech_ae(params, st, ctx, cfg, mel, mel_len)
+        logits, st = U.text_ae(params, net_state, ctx, cfg, text, text_len,
+                               cross_weights_out=t_ws)
+        (pre, post, stop), st = U.speech_ae(params, st, ctx, cfg, mel, mel_len,
+                                            cross_weights_out=s_ws)
         d_loss = 0.0
     t_ae = L.text_loss(text, logits, args.t_eos_weight)
     s_ae = L.speech_loss(mel, gold_stop, pre, post, mel_len, stop,
                          args.s_eos_weight)
+    ga = 0.0
+    if ga_on:
+        ga = ga_w * (_ga_loss(t_ws, text_len, text_len, ga_sigma)
+                     + _ga_loss(s_ws, mel_len, mel_len, ga_sigma))
+        aux["ga_ae"] = ga
     aux.update(t_ae=t_ae, s_ae=s_ae)
-    return (t_ae + s_ae + d_loss) * scale, (aux, st)
+    return (t_ae + s_ae + d_loss + ga) * scale, (aux, st)
 
 
 def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
@@ -138,6 +165,9 @@ def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     (src/train.py:231-259)."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
     ctx = _obj_ctx(rng, args)
+    ga_on, ga_w, ga_sigma = _ga_cfg(cfg, args)
+    tts_ws = [] if ga_on else None
+    asr_ws = [] if ga_on else None
     mel_aug = (mel if not ctx.train else
                specaugment(ctx.next_rng(), mel, mel_len,
                            cfg.spec_freq_mask, cfg.spec_time_mask))
@@ -145,23 +175,32 @@ def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     if cfg.use_discriminator:
         (pre, post, stop, _, t_lat), st = U.tts(params, net_state, ctx, cfg,
                                                 text, text_len, mel, mel_len,
-                                                ret_enc_hid=True)
+                                                ret_enc_hid=True,
+                                                cross_weights_out=tts_ws)
         (logits, s_lat), st = U.asr(params, st, ctx, cfg, text, text_len,
-                                    mel_aug, mel_len, ret_enc_hid=True)
+                                    mel_aug, mel_len, ret_enc_hid=True,
+                                    cross_weights_out=asr_ws)
         d_loss = _disc_adv_loss(params, ctx, ctx.next_rng(), cfg,
                                 t_lat, text_len, s_lat, mel_len)
         aux["d_sp"] = d_loss
     else:
         (pre, post, stop, _), st = U.tts(params, net_state, ctx, cfg,
-                                         text, text_len, mel, mel_len)
+                                         text, text_len, mel, mel_len,
+                                         cross_weights_out=tts_ws)
         logits, st = U.asr(params, st, ctx, cfg, text, text_len,
-                           mel_aug, mel_len)
+                           mel_aug, mel_len, cross_weights_out=asr_ws)
         d_loss = 0.0
     tts_l = L.speech_loss(mel, gold_stop, pre, post, mel_len, stop,
                           args.s_eos_weight)
     asr_l = L.text_loss(text, logits, args.t_eos_weight)
+    ga = 0.0
+    if ga_on:
+        # tts decode: queries=mel frames, keys=text memory; asr: the mirror
+        ga = ga_w * (_ga_loss(tts_ws, mel_len, text_len, ga_sigma)
+                     + _ga_loss(asr_ws, text_len, mel_len, ga_sigma))
+        aux["ga_sp"] = ga
     aux.update(tts=tts_l, asr=asr_l)
-    return (tts_l + asr_l + d_loss) * scale, (aux, st)
+    return (tts_l + asr_l + d_loss + ga) * scale, (aux, st)
 
 
 def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
