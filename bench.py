@@ -38,7 +38,11 @@ def _time(fn, iters=5, warmup=2):
 
 def bench_wav_to_mel(n_clips=256, clip_s=10.0):
     """Throughput of wav->mel on device (batched via vmap over clips) vs the
-    reference CPU path, in clips/s of `clip_s`-second audio."""
+    reference CPU path, in clips/s of `clip_s`-second audio.
+
+    Baseline stability (VERDICT r1 #8): the CPU reference is measured on ONE
+    fixed seeded clip, >=5 runs, median; the JSON carries the baseline
+    median and IQR so vs_baseline is reproducible across rounds."""
     import jax
     import jax.numpy as jnp
     from unast_tpu.audio import dsp, ref_dsp
@@ -48,12 +52,15 @@ def bench_wav_to_mel(n_clips=256, clip_s=10.0):
     n = int(clip_s * P.sr)
     clips = rng.standard_normal((n_clips, n)).astype(np.float32) * 0.1
 
-    # --- measured CPU baseline (reference algorithm, single clip loop) ---
-    base_iters = 3
-    t0 = time.perf_counter()
-    for i in range(base_iters):
-        ref_dsp.wav_to_mel_mag(clips[i], P, trim=False)
-    cpu_per_clip = (time.perf_counter() - t0) / base_iters
+    # --- measured CPU baseline: fixed clip, median of >= 5 runs ---
+    base_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ref_dsp.wav_to_mel_mag(clips[0], P, trim=False)
+        base_times.append(time.perf_counter() - t0)
+    cpu_per_clip = float(np.median(base_times))
+    base_iqr = float(np.percentile(base_times, 75)
+                     - np.percentile(base_times, 25))
     baseline_cps = 1.0 / cpu_per_clip
 
     # --- jitted TPU path: batched framing->rfft->mel over all clips ---
@@ -73,7 +80,9 @@ def bench_wav_to_mel(n_clips=256, clip_s=10.0):
     tpu_cps = n_clips / dt
     return {"metric": "wav_to_mel_throughput", "value": round(tpu_cps, 2),
             "unit": f"clips/s ({clip_s:.0f}s audio)",
-            "vs_baseline": round(tpu_cps / baseline_cps, 2)}
+            "vs_baseline": round(tpu_cps / baseline_cps, 2),
+            "baseline_clips_per_s": round(baseline_cps, 2),
+            "baseline_iqr_s": round(base_iqr, 5)}
 
 
 def bench_griffin_lim(frames=512):
@@ -205,21 +214,151 @@ def bench_train_step():
             "unit": "s per 16-microbatch outer step", "vs_baseline": 1.0}
 
 
+def _peak_flops(dtype: str = "bfloat16") -> float:
+    """Per-chip peak FLOP/s by device kind (public spec sheets); bf16."""
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+        "v5p": 459e12, "v4": 275e12, "v6e": 918e12, "trillium": 918e12,
+        "v3": 123e12, "v2": 45e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197e12  # assume v5e (BASELINE.md target hardware)
+
+
+def bench_attention(iters=32):
+    """Flash (Pallas) vs XLA attention at the flagship shape
+    (B4, H4, T816, D64), `iters` CHAINED calls inside one jit so the
+    per-call time resolves above the ~27 ms tunnel latency floor
+    (VERDICT r1 #6). vs_baseline = XLA time / flash time."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.ops import flash_attention
+    from unast_tpu.models.transformer import attention_core, padding_bias
+
+    B, T, H, D = 4, 816, 4, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, T, H, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, T, H, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, T, H, D), jnp.bfloat16)
+    lens = jnp.full((B,), T, jnp.int32)
+    pad = jnp.zeros((B, T), bool)
+    bias = padding_bias(pad)
+    ectx = nn.Ctx.eval()
+
+    def chain(fn):
+        @jax.jit
+        def run(q, k, v):
+            def body(x, _):
+                return fn(x, k, v), None
+            out, _ = jax.lax.scan(body, q, None, length=iters)
+            return out
+        return run
+
+    flash_run = chain(lambda x, k, v: flash_attention(x, k, v, lens))
+    xla_run = chain(lambda x, k, v: attention_core(x, k, v, bias, ectx, 0.0))
+
+    t_flash = _time(lambda: float(flash_run(q, k, v)[0, 0, 0, 0]), iters=5)
+    t_xla = _time(lambda: float(xla_run(q, k, v)[0, 0, 0, 0]), iters=5)
+    us_flash = t_flash / iters * 1e6
+    us_xla = t_xla / iters * 1e6
+    return {"metric": "flash_attention_us_per_call",
+            "value": round(us_flash, 1),
+            "unit": f"us (B{B} H{H} T{T} D{D}, xla={us_xla:.1f}us)",
+            "vs_baseline": round(us_xla / us_flash, 3),
+            "xla_us_per_call": round(us_xla, 1)}
+
+
+def bench_train_mfu(batch_sizes=(8, 16, 32)):
+    """MFU + frames/s of the supervised (tts+asr fwd+bwd) train step at the
+    flagship config (d=256, 4L, 4H, ffn1024 — src/configs/transformer_trans
+    .json scale), 256-frame mels, batch swept to fill the chip (VERDICT r1
+    #3). The supervised step is the static MXU-dominant graph, so XLA's
+    cost_analysis FLOP count is exact (the cm decode loops are
+    latency-bound, not FLOP-bound, and are excluded)."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.train.config import parse_with_config, model_config_from_args
+    from unast_tpu.train.steps import init_train_state, make_train_step
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+
+    peak = _peak_flops()
+    best = None
+    for bs in batch_sizes:
+        args = parse_with_config([
+            "--train_batch_size", str(bs), "--data_mel_len", "256",
+            "--data_text_len", "128", "--max_mel_len", "256",
+            "--max_text_len", "128", "--ae_steps", "0", "--cm_steps", "0",
+            "--sp_steps", "1", "--d_steps", "0",
+            "--use_discriminator", "false",
+            "--compute_dtype", "bfloat16"])
+        cfg = model_config_from_args(args)
+        ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+        ds = SyntheticSpeechDataset(size=8, seed=0)
+        bg = BatchGetter(args, ds, ds, ds)
+        batches = {"sp": jax.tree_util.tree_map(
+            jnp.asarray, bg.step_batches(args, False))["sp"]}
+        step = jax.jit(make_train_step(cfg, args))
+        flops = None
+        try:
+            compiled = step.lower(ts, jax.random.PRNGKey(1), batches).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception as e:
+            print(f"[mfu] cost_analysis unavailable ({e!r}); "
+                  "falling back to analytic", file=sys.stderr)
+        if flops is None:
+            # analytic: 3x (fwd+bwd) x 2 x params-in-matmuls x tokens,
+            # two decoders + two encoders over (mel 256 + text 128) tokens
+            from unast_tpu.models import unast as U
+            n_par = U.num_params(ts.params)
+            flops = 3 * 2 * n_par * bs * (256 + 128)
+        ts, m = step(ts, jax.random.PRNGKey(1), batches)
+        float(m["grad_norm"])
+        dt = _time(lambda: float(
+            step(ts, jax.random.PRNGKey(2), batches)[1]["grad_norm"]),
+            iters=3, warmup=1)
+        mfu = flops / dt / peak
+        frames_s = bs * 256 / dt
+        res = {"metric": "train_mfu", "value": round(mfu, 4),
+               "unit": f"MFU (bs={bs}, {frames_s:,.0f} mel frames/s, "
+                       f"{flops / dt / 1e12:.2f} TFLOP/s of "
+                       f"{peak / 1e12:.0f} peak)",
+               "vs_baseline": round(mfu, 4),
+               "batch_size": bs, "frames_per_s": round(frames_s, 1),
+               "tflops_per_s": round(flops / dt / 1e12, 2),
+               "step_s": round(dt, 4)}
+        print(json.dumps(res), file=sys.stderr)
+        if best is None or res["value"] > best["value"]:
+            best = res
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
-                             "train"])
+                             "train", "attention", "mfu"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
-                   bench_asr_infer, bench_train_step):
+                   bench_asr_infer, bench_train_step, bench_attention,
+                   bench_train_mfu):
             print(json.dumps(fn()))
         return
     fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,
           "tts": bench_tts_infer, "asr": bench_asr_infer,
-          "train": bench_train_step}[args.which]
+          "train": bench_train_step, "attention": bench_attention,
+          "mfu": bench_train_mfu}[args.which]
     print(json.dumps(fn()))
 
 
