@@ -140,17 +140,7 @@ def copy_transformer_weights(model, cfg):
     from test_models import _copy_encoder_layer, _copy_decoder_layer
 
     d = cfg.e_in
-    tp = model.text_m.prenet
-    text_prenet = {
-        "embed": {"w": _t2j(tp.embed.weight)},
-        "conv1": _conv(tp.conv1), "conv2": _conv(tp.conv2),
-        "conv3": _conv(tp.conv3),
-    }
-    bn_p, bn_s = {}, {}
-    for i, mod in ((1, tp.batch_norm1), (2, tp.batch_norm2),
-                   (3, tp.batch_norm3)):
-        bn_p[f"bn{i}"], bn_s[f"bn{i}"] = _bn(mod)
-    text_prenet["bn"] = bn_p
+    text_prenet, bn_s = _copy_text_prenet(model.text_m.prenet)
 
     def _tr_stack(torch_wrap, which):
         inner = (torch_wrap.transformer_encoder if which == "enc"
@@ -164,11 +154,82 @@ def copy_transformer_weights(model, cfg):
         "decoder": _tr_stack(model.text_m.decoder, "dec"),
         "postnet": {"fc": _lin(model.text_m.postnet.fc1)},
     }
-    text_s = {"prenet": {"bn": bn_s}}
+    text_s = {"prenet": bn_s}
 
     sp = model.speech_m.prenet.layer
-    speech_prenet = {"fc1": _lin(sp.fc1), "fc2": _lin(sp.fc2)}
-    pn = model.speech_m.postnet
+    post_p, pbn_s = _copy_speech_postnet(model.speech_m.postnet)
+    speech_p = {
+        "prenet": {"fc1": _lin(sp.fc1), "fc2": _lin(sp.fc2)},
+        "encoder": _tr_stack(model.speech_m.encoder, "enc"),
+        "decoder": _tr_stack(model.speech_m.decoder, "dec"),
+        "postnet": post_p,
+    }
+    speech_s = {"postnet": pbn_s}
+
+    params = {"text_m": text_p, "speech_m": speech_p}
+    state = {"text_m": text_s, "speech_m": speech_s}
+
+    if model.discriminator is not None:
+        params["discriminator"] = _copy_lstm_discriminator(model.discriminator)
+    return params, state
+
+
+def _copy_lstm_discriminator(disc):
+    rnn_p = {"layers": _lstm_layers(disc.rnn.rnn)}
+    if disc.rnn.num_dir == 2:
+        rnn_p["reduce_h"] = _lin(disc.rnn.reduce_h_W)
+        rnn_p["reduce_c"] = _lin(disc.rnn.reduce_c_W)
+    return {"rnn": rnn_p, "fc2": _lin(disc.fc2)}
+
+
+def _copy_rnn_encoder(enc):
+    p = {"layers": _lstm_layers(enc.rnn)}
+    if enc.num_dir == 2:
+        p["reduce_h"] = _lin(enc.reduce_h_W)
+        p["reduce_c"] = _lin(enc.reduce_c_W)
+    return p
+
+
+def copy_rnn_decoder(dec):
+    """Reference RNNDecoder (src/module.py:340-374) -> our rnn_decoder_init
+    tree (cells + attn + proj)."""
+    p = {"cells": [layer["fwd"] for layer in _lstm_layers(dec.rnn)]}
+    if dec.attention == "lsa":
+        att = dec.attention_layer
+        p["attn"] = {
+            "query": _lin(att.query_layer),
+            "memory": _lin(att.memory_layer),
+            "v": _lin(att.v),
+            "loc_conv": _conv(att.location_layer.location_conv),
+            "loc_dense": _lin(att.location_layer.location_dense),
+        }
+    elif dec.attention == "luong":
+        att = dec.attention_layer
+        p["attn"] = {
+            "proj_hid": _lin(att.project_hid),
+            "proj_eo": _lin(att.project_eo),
+            "fc2": _lin(att.fc2),
+        }
+    if dec.attention:
+        p["proj"] = _lin(dec.linear_projection)
+    return p
+
+
+def _copy_text_prenet(tp):
+    prenet = {
+        "embed": {"w": _t2j(tp.embed.weight)},
+        "conv1": _conv(tp.conv1), "conv2": _conv(tp.conv2),
+        "conv3": _conv(tp.conv3),
+    }
+    bn_p, bn_s = {}, {}
+    for i, mod in ((1, tp.batch_norm1), (2, tp.batch_norm2),
+                   (3, tp.batch_norm3)):
+        bn_p[f"bn{i}"], bn_s[f"bn{i}"] = _bn(mod)
+    prenet["bn"] = bn_p
+    return prenet, {"bn": bn_s}
+
+
+def _copy_speech_postnet(pn):
     post_p = {
         "conv1": _conv(pn.conv1),
         "convs": [_conv(c) for c in pn.conv_list],
@@ -181,23 +242,29 @@ def copy_transformer_weights(model, cfg):
     for i, mod in enumerate(pn.batch_norm_list):
         pbn_p[f"bn{i + 1}"], pbn_s[f"bn{i + 1}"] = _bn(mod)
     post_p["bn"] = pbn_p
+    return post_p, {"bn": pbn_s}
 
+
+def copy_rnn_weights(model, cfg):
+    """Reference UNAST (RNN text_m/speech_m + LSTMDiscriminator) ->
+    (params, state) for unast_tpu.models.unast with the same cfg."""
+    text_prenet, text_bn_s = _copy_text_prenet(model.text_m.prenet)
+    text_p = {
+        "prenet": text_prenet,
+        "encoder": _copy_rnn_encoder(model.text_m.encoder),
+        "decoder": copy_rnn_decoder(model.text_m.decoder),
+        "postnet": {"fc": _lin(model.text_m.postnet.fc1)},
+    }
+    sp = model.speech_m.prenet.layer
+    post_p, post_s = _copy_speech_postnet(model.speech_m.postnet)
     speech_p = {
-        "prenet": speech_prenet,
-        "encoder": _tr_stack(model.speech_m.encoder, "enc"),
-        "decoder": _tr_stack(model.speech_m.decoder, "dec"),
+        "prenet": {"fc1": _lin(sp.fc1), "fc2": _lin(sp.fc2)},
+        "encoder": _copy_rnn_encoder(model.speech_m.encoder),
+        "decoder": copy_rnn_decoder(model.speech_m.decoder),
         "postnet": post_p,
     }
-    speech_s = {"postnet": {"bn": pbn_s}}
-
     params = {"text_m": text_p, "speech_m": speech_p}
-    state = {"text_m": text_s, "speech_m": speech_s}
-
+    state = {"text_m": {"prenet": text_bn_s}, "speech_m": {"postnet": post_s}}
     if model.discriminator is not None:
-        disc = model.discriminator
-        rnn_p = {"layers": _lstm_layers(disc.rnn.rnn)}
-        if disc.rnn.num_dir == 2:
-            rnn_p["reduce_h"] = _lin(disc.rnn.reduce_h_W)
-            rnn_p["reduce_c"] = _lin(disc.rnn.reduce_c_W)
-        params["discriminator"] = {"rnn": rnn_p, "fc2": _lin(disc.fc2)}
+        params["discriminator"] = _copy_lstm_discriminator(model.discriminator)
     return params, state

@@ -186,6 +186,66 @@ def test_train_loop_sharded_dp_tp():
     assert os.path.exists(os.path.join(a.checkpoint_path, "metrics.jsonl"))
 
 
+def test_real_data_path_end_to_end(tmp_path):
+    """The real-data path (reference src/prepare_data.py:10-46 +
+    src/preprocess.py:14-51): wavs on disk -> prepare.py offline mel/mag
+    cache -> LJSpeechDataset off the cache -> one jitted train step and one
+    eval batch."""
+    from unast_tpu.data import prepare
+    from unast_tpu.data.dataset import (LJSpeechDataset, synth_audio,
+                                        synth_sentence)
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.infer.synthesize import write_wav
+    from unast_tpu.infer.evaluate import evaluate
+    from unast_tpu.text import raw_text_to_phoneme_ids
+    from unast_tpu.train.steps import init_train_state, make_train_step
+
+    # stage a miniature LJSpeech layout: metadata.csv + wavs/
+    root = tmp_path / "LJMini"
+    (root / "wavs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        text = synth_sentence(rng, (2, 3))
+        ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
+        wav = synth_audio(ids, 22050, rng, phoneme_dur_s=0.05)
+        fid = f"MINI-{i:03d}"
+        write_wav(str(root / "wavs" / f"{fid}.wav"), wav)
+        rows.append(f"{fid}|{text}|{text}")
+    (root / "metadata.csv").write_text("\n".join(rows) + "\n")
+
+    # offline preprocessing CLI (numpy reference DSP path)
+    cache = root / "mel_cache"
+    prepare.main(["--data_path", str(root), "--cache_dir", str(cache),
+                  "--cpu"])
+    assert len(list(cache.glob("*.mel.npy"))) == 8
+    assert len(list(cache.glob("*.mag.npy"))) == 8
+
+    ds = LJSpeechDataset(str(root / "metadata.csv"), str(cache))
+    item = ds[0]
+    assert item["mel"].ndim == 2 and item["mel"].shape[1] == 80
+    assert item["ids"].dtype == np.int32 and len(item["ids"]) > 2
+
+    # one jitted train step off the cache-backed dataset
+    a = parse_with_config(CFG_ARGV + ["--data_mel_len", "128",
+                                      "--max_mel_len", "128"])
+    cfg = model_config_from_args(a)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, a)
+    bg = BatchGetter(a, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(a, use_discriminator=True))
+    from unast_tpu.train.steps import make_train_step as mts
+    step = jax.jit(mts(cfg, a))
+    ts, m = step(ts, jax.random.PRNGKey(1), batches)
+    assert np.isfinite(float(m["grad_norm"]))
+
+    # and one eval batch
+    from unast_tpu.train.loop import _val_batches
+    per, losses = evaluate(ts.params, ts.net_state, cfg, a,
+                           _val_batches(a, ds))
+    assert np.isfinite(per)
+
+
 def test_all_configs_parse():
     """Every shipped config parses and yields a valid ModelConfig; covers
     the reference's full 18-file design space incl. rnn_d.json,
