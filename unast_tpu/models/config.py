@@ -63,6 +63,11 @@ class ModelConfig:
     spec_freq_mask: int = 20
     spec_time_mask: int = 100
 
+    # Greedy speech decode stops when sigmoid(stop) >= stop_threshold.
+    # The reference hardcodes 0.5 (src/network.py:240); tunable for EOS
+    # calibration (scripts/stop_calibration.py, BENCHMARKS.md).
+    stop_threshold: float = 0.5
+
     # Compute dtype for activations ('bfloat16' on TPU, 'float32' for parity
     # tests). Params are always float32.
     compute_dtype: str = "float32"

@@ -321,7 +321,7 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
         frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
         stops = jax.lax.dynamic_update_slice_in_dim(
             stops, stop_t[:, :, 0], i, axis=1)
-        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= 0.5
+        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= cfg.stop_threshold
         newly = jnp.logical_and(fired, stop_lens == max_len)
         stop_lens = jnp.where(newly, i + 1, stop_lens)
         return (i + 1, frames, stops, cache, stop_lens)
@@ -539,7 +539,7 @@ def speech_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
         frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
         stops = jax.lax.dynamic_update_slice_in_dim(
             stops, stop_t[:, :, 0], i, axis=1)
-        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= 0.5
+        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= cfg.stop_threshold
         newly = jnp.logical_and(fired, stop_lens == max_len)
         stop_lens = jnp.where(newly, i + 1, stop_lens)
         return (i + 1, frames, stops, hc, attn, stop_lens)
