@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--ga_weight", type=float, default=0.0,
                     help="guided-attention loss weight (transformer lever)")
     ap.add_argument("--steps_per_log", type=int, default=10)
+    ap.add_argument("--corpus_size", type=int, default=32,
+                    help="synthetic corpus size; 32 is memorizable (the "
+                         "joint objective can satisfy itself as a pure LM), "
+                         "larger forces audio grounding")
     known = ap.parse_args(argv)
 
     if known.preset == "full":
@@ -74,7 +78,8 @@ def main(argv=None):
     # 64-frame cap (at the default 0.08s half of each utterance is cut off
     # and ASR has an irreducible error floor).
     dur = 0.04 if known.preset == "small" else 0.08
-    ds = SyntheticSpeechDataset(size=32, seed=0, phoneme_dur_s=dur)
+    ds = SyntheticSpeechDataset(size=known.corpus_size, seed=0,
+                                phoneme_dur_s=dur)
     bg = BatchGetter(args, ds, ds, ds)
     ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
     step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
@@ -94,7 +99,19 @@ def main(argv=None):
             pred_tf = np.asarray(jnp.argmax(logits, -1))
             mask = (np.arange(b["text"].shape[1])[None] < b["text_len"][:, None])
             acc = (pred_tf == b["text"])[mask].mean()
+            # grounding diagnostic: decode against the WRONG audio. If the
+            # shuffled PER is no worse, the decoder is ignoring the speech
+            # memory and free-running as a pure corpus LM.
+            perm = np.roll(np.arange(len(b["mel"])), 1)
+            (ids_s, lens_s), _ = U.asr(
+                ts.params, ts.net_state, nn.Ctx.eval(), cfg, None, None,
+                jnp.asarray(b["mel"][perm]), jnp.asarray(b["mel_len"][perm]),
+                infer=True)
+            per_shuf = compute_per(b["text"], np.asarray(ids_s),
+                                   b["text_len"], np.asarray(lens_s))
             print(f"  teacher-forced token acc: {acc:.3f}")
+            print(f"  PER with shuffled audio: {per_shuf:.3f} "
+                  "(= normal PER means the decode ignores audio)")
             print(f"  gt[0]  ({b['text_len'][0]}): "
                   f"{b['text'][0][:b['text_len'][0]].tolist()}")
             print(f"  hyp[0] ({lens[0]}): {ids[0][:lens[0]].tolist()}")
