@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--max_seconds", type=float, default=5400)
     ap.add_argument("--eval_every", type=int, default=100)
     ap.add_argument("--report", default="/tmp/ref_ab_joint.json")
+    ap.add_argument("--cm_mel_cap", type=int, default=16)
+    ap.add_argument("--cm_text_cap", type=int, default=8)
     a = ap.parse_args()
 
     import torch
@@ -74,6 +76,17 @@ def main():
     model = ns.network.UNAST(text_m, speech_m, disc, None)
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-6)
 
+    # Cap the back-translation greedy decode lengths to the same values as
+    # our convergence gate (cm_infer_mel_len 16 / cm_infer_text_len 8):
+    # without a cap the reference's no-cache O(prefix^2) re-decode makes a
+    # joint step take minutes on this host (measured <0.01 steps/s).
+    import functools
+    orig_text_infer = model.text_m.infer_sequence
+    model.speech_m.infer_sequence = functools.partial(
+        model.speech_m.infer_sequence, max_len=a.cm_mel_cap)
+    model.text_m.infer_sequence = functools.partial(
+        orig_text_infer, max_len=a.cm_text_cap)
+
     ds = SyntheticSpeechDataset(size=32, seed=0, phoneme_dur_s=0.04)
     rng = np.random.default_rng(17)
     B = 8
@@ -89,7 +102,8 @@ def main():
         items = [ds[i] for i in range(8)]
         text, mel, tl, ml = pad_batch(items, torch)
         with torch.no_grad():
-            ids, lens = model.asr(None, None, mel, ml, infer=True)
+            s_e_o, s_masks = model.speech_m.encode(mel, ml)
+            ids, lens = orig_text_infer(s_e_o, s_masks, max_len=40)
         model.train()
         ids = ids.numpy()
         pad = np.zeros((ids.shape[0], max(0, 40 - ids.shape[1])), ids.dtype)
