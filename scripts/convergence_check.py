@@ -43,6 +43,11 @@ def main(argv=None):
                     help="synthetic corpus size; 32 is memorizable (the "
                          "joint objective can satisfy itself as a pure LM), "
                          "larger forces audio grounding")
+    ap.add_argument("--sp_warmup", type=int, default=0,
+                    help="supervised-only steps BEFORE the joint mixture "
+                         "(grounding curriculum: anchor the cross-modal "
+                         "alignment first, then add DAE/back-translation/"
+                         "adversarial objectives)")
     known = ap.parse_args(argv)
 
     if known.preset == "full":
@@ -120,6 +125,22 @@ def main(argv=None):
     per0 = measure_per(ts)
     print(f"untrained PER: {per0:.3f}")
     rng = jax.random.PRNGKey(17)
+    if known.sp_warmup > 0:
+        wargs = parse_with_config(argv_cfg + [
+            "--ae_steps", "0", "--cm_steps", "0", "--d_steps", "0",
+            "--use_discriminator", "false"])
+        wcfg = cfg.replace(use_discriminator=False)
+        wstep = jax.jit(make_train_step(wcfg, wargs), donate_argnums=(0,))
+        wrng = jax.random.PRNGKey(23)
+        for s in range(known.sp_warmup):
+            wb = {"sp": jax.tree_util.tree_map(
+                jnp.asarray, bg.step_batches(wargs, False))["sp"]}
+            ts, m = wstep(ts, jax.random.fold_in(wrng, s), wb)
+            if (s + 1) % known.steps_per_log == 0:
+                print(f"[sp_warmup] step {s + 1}: "
+                      f"asr {float(m['sp/asr']):.3f} "
+                      f"tts {float(m['sp/tts']):.3f}")
+        print(f"after sp_warmup({known.sp_warmup}): PER {measure_per(ts):.3f}")
     first, last = None, None
     t0 = time.time()
     for s in range(known.steps):
