@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--cm_steps", type=int, default=8)
     add("--sp_steps", type=int, default=4)
     add("--d_steps", type=int, default=4)
+    add("--sp_warmup_steps", type=int, default=0,
+        help="supervised-only grounding warm-start before the joint "
+             "mixture (BENCHMARKS.md transformer convergence study: the "
+             "curriculum that takes the transformer to joint PER 0)")
 
     # teacher forcing schedule (dormant in the reference, #51)
     add("--teacher_init_val", type=float, default=1.0)

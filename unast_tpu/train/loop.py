@@ -91,6 +91,28 @@ def train(args):
         s_epoch, best, ts, _ = load_ckp(args.load_path, ts)
         print(f"[INFO] Training from epoch {s_epoch}.")
 
+    if getattr(args, "sp_warmup_steps", 0) and s_epoch == 0:
+        # Grounding curriculum (BENCHMARKS.md round-2 convergence study):
+        # anchor the cross-modal alignment with supervised-only steps before
+        # enabling the DAE/back-translation/adversarial mixture. Runs
+        # single-device ahead of any mesh sharding.
+        import copy
+        wargs = copy.copy(args)
+        wargs.ae_steps = wargs.cm_steps = wargs.d_steps = 0
+        wargs.sp_steps = max(1, args.sp_steps)
+        wcfg = cfg.replace(use_discriminator=False)
+        wstep = jax.jit(make_train_step(wcfg, wargs), donate_argnums=(0,))
+        wrng = jax.random.PRNGKey(args.seed + 29)
+        t0 = time.time()
+        for s in range(args.sp_warmup_steps):
+            wb = jax.tree_util.tree_map(
+                jnp.asarray, batch_getter.step_batches(wargs, False))
+            ts, wm = wstep(ts, jax.random.fold_in(wrng, s), wb)
+        print(f"[sp_warmup] {args.sp_warmup_steps} supervised-only steps "
+              f"in {time.time() - t0:.1f}s "
+              f"(final asr {float(wm['sp/asr']):.3f} "
+              f"tts {float(wm['sp/tts']):.3f})")
+
     step_fn = make_train_step(cfg, args)
     mesh = None
     if args.dp * args.tp > 1:
