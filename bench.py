@@ -274,7 +274,7 @@ def bench_attention(iters=32):
             "xla_us_per_call": round(us_xla, 1)}
 
 
-def bench_train_mfu(batch_sizes=(8, 16, 32)):
+def bench_train_mfu(batch_sizes=(32, 128)):
     """MFU + frames/s of the supervised (tts+asr fwd+bwd) train step at the
     flagship config (d=256, 4L, 4H, ffn1024 — src/configs/transformer_trans
     .json scale), 256-frame mels, batch swept to fill the chip (VERDICT r1
