@@ -48,7 +48,7 @@ def main(argv=None):
                          "(grounding curriculum: anchor the cross-modal "
                          "alignment first, then add DAE/back-translation/"
                          "adversarial objectives)")
-    known = ap.parse_args(argv)
+    known, extra = ap.parse_known_args(argv)
 
     if known.preset == "full":
         argv_cfg = [
@@ -75,7 +75,7 @@ def main(argv=None):
             "--d_steps", "1", "--train_batch_size", "8",
             "--sched_type", "multistep", "--lr", "1e-3",
             "--optim_type", "adamw", "--compute_dtype", "bfloat16"]
-    argv_cfg += ["--ga_weight", str(known.ga_weight)]
+    argv_cfg += ["--ga_weight", str(known.ga_weight)] + extra
     args = parse_with_config(argv_cfg)
     cfg = model_config_from_args(args)
 
