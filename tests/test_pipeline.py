@@ -286,6 +286,18 @@ def test_reference_splits_shipped():
     assert rows["labeled_train"][0][0] == "LJ011-0287"
 
 
+def test_train_loop_sp_warmup_and_ga():
+    """The supervised warm-start curriculum + guided attention run through
+    the real training loop (BENCHMARKS.md round-2 convergence study)."""
+    a = parse_with_config(CFG_ARGV + ["--sp_warmup_steps", "2",
+                                      "--ga_weight", "0.2"])
+    a.checkpoint_path = "/tmp/unast_tpu_test_ckpt_warm"
+    shutil.rmtree(a.checkpoint_path, ignore_errors=True)
+    from unast_tpu.train.loop import train
+    ts, best = train(a)
+    assert os.path.exists(os.path.join(a.checkpoint_path, "metrics.jsonl"))
+
+
 def test_train_resume_from_checkpoint(args):
     """Resume semantics: load_path restores epoch/best and training
     continues from there (reference src/train.py:936-942)."""
