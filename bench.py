@@ -229,18 +229,20 @@ def _peak_flops(dtype: str = "bfloat16") -> float:
     return 197e12  # assume v5e (BASELINE.md target hardware)
 
 
-def bench_attention(iters=32):
+def bench_attention(iters=32, T=816):
     """Flash (Pallas) vs XLA attention at the flagship shape
-    (B4, H4, T816, D64), `iters` CHAINED calls inside one jit so the
+    (B4, H4, T, D64), `iters` CHAINED calls inside one jit so the
     per-call time resolves above the ~27 ms tunnel latency floor
-    (VERDICT r1 #6). vs_baseline = XLA time / flash time."""
+    (VERDICT r1 #6). vs_baseline = XLA time / flash time. Pass a larger T
+    (e.g. 4096) to see the long-context regime where the Pallas kernel
+    wins (BENCHMARKS.md)."""
     import jax
     import jax.numpy as jnp
     from unast_tpu import nn
     from unast_tpu.ops import flash_attention
     from unast_tpu.models.transformer import attention_core, padding_bias
 
-    B, T, H, D = 4, 816, 4, 64
+    B, H, D = 4, 4, 64
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (B, T, H, D), jnp.bfloat16)

@@ -174,14 +174,22 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def flash_attention(q, k, v, kv_lens=None, causal: bool = False,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: int = None, block_k: int = None,
                     interpret: bool = None):
     """Drop-in for attention_core's math (minus attention dropout).
 
     q: [B, Tq, H, D]; k, v: [B, Tk, H, D]; kv_lens: [B] valid key lengths
-    (None = all valid). Returns [B, Tq, H, D]."""
+    (None = all valid). Returns [B, Tq, H, D].
+
+    Default block sizes adapt to sequence length (measured on v5e: 512
+    blocks halve long-context time vs 128 — fewer grid programs and
+    k-loop iterations; at short T the difference is small)."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
+    if block_k is None:
+        block_k = 512 if tk >= 1024 else 256
+    if block_q is None:
+        block_q = 512 if tq >= 2048 else 256
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     sm_scale = 1.0 / math.sqrt(d)
