@@ -175,6 +175,38 @@ def test_serving_api():
     assert len(texts) == 1 and isinstance(texts[0], str)
 
 
+def test_serving_api_data_parallel():
+    """Data-parallel serving: a dp-mesh Synthesizer must produce the same
+    mels/transcripts as the single-device one (params replicated, request
+    batch sharded over 'dp', odd chunks padded by replicating the last
+    request)."""
+    from unast_tpu.models import TINY, unast as U
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.parallel.mesh import make_mesh
+
+    params, state = U.unast_init(jax.random.PRNGKey(0), TINY)
+    kw = dict(text_buckets=(8, 16), mel_buckets=(16, 24), max_batch=4)
+    base = Synthesizer(params, state, TINY, **kw)
+    dp = Synthesizer(params, state, TINY, mesh=make_mesh(dp=4), **kw)
+
+    texts = ["hi there", "ok", "go now"]  # 3 -> pads to 4 over dp=4
+    ref = base.tts_mels(texts)
+    got = dp.tts_mels(texts)
+    assert len(got) == 3
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+    rng = np.random.default_rng(1)
+    mels = [rng.normal(size=(t, TINY.num_mels)).astype(np.float32) * 0.1
+            for t in (10, 14)]
+    ref_ids = base.asr_ids(mels)
+    got_ids = dp.asr_ids(mels)
+    assert len(got_ids) == 2
+    for r, g in zip(ref_ids, got_ids):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_train_loop_sharded_dp_tp():
     """The real training loop over a (4, 2) virtual mesh."""
     a = parse_with_config(CFG_ARGV + ["--dp", "4", "--tp", "2",

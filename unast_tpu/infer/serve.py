@@ -34,9 +34,13 @@ class Synthesizer:
                  vocoder_pv=None, audio_params=AUDIO_DEFAULT,
                  text_buckets: Sequence[int] = (32, 64, 128, 304),
                  mel_buckets: Sequence[int] = (256, 512, 816),
-                 max_batch: int = 8):
-        self.params = params
-        self.net_state = net_state
+                 max_batch: int = 8, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
+        Synthesizer then serves batches sharded across all chips (params
+        replicated, request batch split over 'dp'; XLA runs each shard's
+        decode independently, no collectives on this path). max_batch must
+        be divisible by the dp size; short chunks are padded by replicating
+        the last request."""
         self.cfg = cfg
         self.vocoder_pv = vocoder_pv
         self.audio_params = audio_params
@@ -47,10 +51,38 @@ class Synthesizer:
         self.mel_buckets = sorted({min(b, cfg.max_mel_len)
                                    for b in mel_buckets})
         self.max_batch = max_batch
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = mesh.shape["dp"]
+            assert max_batch % dp == 0, (
+                f"max_batch {max_batch} must divide over dp={dp}")
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(params, jax.tree_util.tree_map(
+                lambda _: repl, params))
+            net_state = jax.device_put(net_state, jax.tree_util.tree_map(
+                lambda _: repl, net_state))
+            self._req_sharding = NamedSharding(mesh, P("dp"))
+        self.params = params
+        self.net_state = net_state
         self._tts_fn = jax.jit(self._tts_impl)
         self._asr_fn = jax.jit(self._asr_impl)
         self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
+
+    def _place(self, *arrays):
+        """Shard request arrays over 'dp' (no-op without a mesh)."""
+        if self.mesh is None:
+            return arrays
+        return tuple(jax.device_put(a, self._req_sharding) for a in arrays)
+
+    def _pad_chunk(self, n: int) -> int:
+        """Rows a chunk must be padded to (replicating the last request)
+        so the batch divides over the mesh."""
+        if self.mesh is None:
+            return n
+        dp = self.mesh.shape["dp"]
+        return -(-n // dp) * dp
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, args, **kw):
@@ -100,18 +132,21 @@ class Synthesizer:
             chunk = texts[start:start + self.max_batch]
             seqs = [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
                     for t in chunk]
+            n = len(seqs)
+            rows = self._pad_chunk(n)
             tl = self._bucket(self.text_buckets, max(len(s) for s in seqs))
-            ids = np.zeros((len(seqs), tl), np.int32)
-            lens = np.zeros((len(seqs),), np.int32)
-            for i, s in enumerate(seqs):
-                s = s[:tl]
+            ids = np.zeros((rows, tl), np.int32)
+            lens = np.zeros((rows,), np.int32)
+            for i in range(rows):
+                s = seqs[min(i, n - 1)][:tl]
                 ids[i, :len(s)] = s
                 lens[i] = len(s)
+            ids, lens = self._place(jnp.asarray(ids), jnp.asarray(lens))
             post, stop_lens = self._tts_fn(self.params, self.net_state,
-                                           jnp.asarray(ids), jnp.asarray(lens))
+                                           ids, lens)
             post = np.asarray(post, np.float32)
             stop_lens = np.asarray(stop_lens)
-            out.extend(post[i, : stop_lens[i]] for i in range(len(seqs)))
+            out.extend(post[i, : stop_lens[i]] for i in range(n))
         return out
 
     def tts(self, texts: List[str]):
@@ -136,24 +171,25 @@ class Synthesizer:
         out = []
         for start in range(0, len(mels), self.max_batch):
             chunk = mels[start:start + self.max_batch]
+            n = len(chunk)
+            rows = self._pad_chunk(n)
             ml = self._bucket(self.mel_buckets, max(len(m) for m in chunk))
-            mel = np.zeros((len(chunk), ml, self.cfg.num_mels), np.float32)
-            lens = np.zeros((len(chunk),), np.int32)
-            for i, m in enumerate(chunk):
-                m = m[:ml]
+            mel = np.zeros((rows, ml, self.cfg.num_mels), np.float32)
+            lens = np.zeros((rows,), np.int32)
+            for i in range(rows):
+                m = chunk[min(i, n - 1)][:ml]
                 mel[i, :len(m)] = m
                 lens[i] = len(m)
+            mel, lens = self._place(jnp.asarray(mel), jnp.asarray(lens))
             if beam > 1:
                 ids, stop_lens = self._asr_beam_fn(
-                    self.params, self.net_state, jnp.asarray(mel),
-                    jnp.asarray(lens), beam)
+                    self.params, self.net_state, mel, lens, beam)
             else:
                 ids, stop_lens = self._asr_fn(self.params, self.net_state,
-                                              jnp.asarray(mel),
-                                              jnp.asarray(lens))
+                                              mel, lens)
             ids = np.asarray(ids)
             stop_lens = np.asarray(stop_lens)
-            out.extend(ids[i, : stop_lens[i]] for i in range(len(chunk)))
+            out.extend(ids[i, : stop_lens[i]] for i in range(n))
         return out
 
     def asr(self, wavs: List[np.ndarray], beam: int = 1):
@@ -167,12 +203,16 @@ class Synthesizer:
                 for ids in self.asr_ids(mels, beam=beam)]
 
     def warmup(self):
-        """Pre-compile every bucket (one dummy request per bucket)."""
+        """Pre-compile every bucket (one dummy request per bucket; under a
+        mesh the dummy batch is dp-wide so warm shapes match served ones)."""
+        rows = self._pad_chunk(1)
         for tb in self.text_buckets:
-            ids = jnp.ones((1, tb), jnp.int32)
-            self._tts_fn(self.params, self.net_state, ids,
-                         jnp.asarray([tb], jnp.int32))
+            ids, lens = self._place(
+                jnp.ones((rows, tb), jnp.int32),
+                jnp.full((rows,), tb, jnp.int32))
+            self._tts_fn(self.params, self.net_state, ids, lens)
         for mb in self.mel_buckets:
-            mel = jnp.zeros((1, mb, self.cfg.num_mels), jnp.float32)
-            self._asr_fn(self.params, self.net_state, mel,
-                         jnp.asarray([mb], jnp.int32))
+            mel, lens = self._place(
+                jnp.zeros((rows, mb, self.cfg.num_mels), jnp.float32),
+                jnp.full((rows,), mb, jnp.int32))
+            self._asr_fn(self.params, self.net_state, mel, lens)
