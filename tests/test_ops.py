@@ -87,3 +87,64 @@ def test_attn_impl_flash_config_path():
     valid = np.asarray(mx)[:, :6]
     np.testing.assert_allclose(np.asarray(mf)[:, :6], valid, atol=2e-4,
                                rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel encoder (parallel/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_encoder_matches_sequential():
+    """GPipe-staged encoder == sequential encoder (eval mode), and its
+    gradient w.r.t. the input matches too (the ppermute schedule is
+    differentiable)."""
+    from unast_tpu.models import transformer as T
+    from unast_tpu.parallel.pipeline import (make_pp_mesh, pipeline_encoder,
+                                             stack_for_pipeline)
+
+    d, nhead, ffn, L, pp, n_micro = 32, 2, 64, 4, 4, 4
+    b, t = 8, 12
+    key = jax.random.PRNGKey(0)
+    p = T.encoder_init(key, d, nhead, ffn, L)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d), jnp.float32)
+    pad = jnp.arange(t)[None, :] >= jnp.array([t, t, 9, 7, t, 5, t, 11])[:, None]
+
+    ref = T.encoder(p, nn.Ctx.eval(), x, pad, nhead, 0.0)
+    mesh = make_pp_mesh(pp)
+    sp = stack_for_pipeline(p, pp)
+    got = pipeline_encoder(sp, nn.Ctx.eval(), x, pad, nhead, 0.0,
+                           mesh, n_micro)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # reverse-mode through the schedule: d(sum(out))/dx
+    def loss_ref(x):
+        return jnp.sum(T.encoder(p, nn.Ctx.eval(), x, pad, nhead, 0.0))
+
+    def loss_pp(x):
+        return jnp.sum(pipeline_encoder(sp, nn.Ctx.eval(), x, pad, nhead,
+                                        0.0, mesh, n_micro))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_pp = jax.grad(loss_pp)(x)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_encoder_uneven_microbatches():
+    """pp=2 stages, more micro-batches than stages (the bubble-amortizing
+    regime), non-divisible mask lengths."""
+    from unast_tpu.models import transformer as T
+    from unast_tpu.parallel.pipeline import (make_pp_mesh, pipeline_encoder,
+                                             stack_for_pipeline)
+
+    d, nhead, ffn, L, pp, n_micro = 16, 2, 32, 2, 2, 4
+    b, t = 8, 7
+    p = T.encoder_init(jax.random.PRNGKey(2), d, nhead, ffn, L)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, t, d), jnp.float32)
+    pad = jnp.arange(t)[None, :] >= jnp.full((b, 1), 5)
+    ref = T.encoder(p, nn.Ctx.eval(), x, pad, nhead, 0.0)
+    got = pipeline_encoder(stack_for_pipeline(p, pp), nn.Ctx.eval(), x, pad,
+                           nhead, 0.0, make_pp_mesh(pp), n_micro)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -2,10 +2,11 @@
 
 The reference has NO distributed machinery of any kind (single process,
 single device — SURVEY.md §2.3/§5.8), so this layer is a pure TPU-native
-addition: a (dp, tp) jax.sharding.Mesh, named-sharding rules for params /
-optimizer state / batches, and sharded jit wrappers. XLA inserts the ICI
-collectives (grad psum over dp, activation all-gathers for tp) — no
-hand-written communication."""
+addition: a (dp, tp[, sp]) jax.sharding.Mesh, named-sharding rules for
+params / optimizer state / batches, and sharded jit wrappers. XLA inserts
+the ICI collectives (grad psum over dp, activation all-gathers for tp,
+attention K/V gathers + conv halo exchange for sp) — no hand-written
+communication."""
 
 from .mesh import (
     make_mesh,
@@ -14,6 +15,8 @@ from .mesh import (
     replicated,
     shard_train_step,
 )
+from .pipeline import make_pp_mesh, pipeline_encoder, stack_for_pipeline
 
 __all__ = ["make_mesh", "train_state_shardings", "batch_shardings",
-           "replicated", "shard_train_step"]
+           "replicated", "shard_train_step",
+           "make_pp_mesh", "pipeline_encoder", "stack_for_pipeline"]

@@ -11,6 +11,13 @@ boundary, let XLA/GSPMD insert collectives over ICI.
     and FFN down-projections row-split (input features over 'tp') so each
     pair needs a single all-reduce per block. Small glue params (norms,
     embeddings, convs, biases of row-split layers) are replicated.
+  - sp axis (optional): sequence parallelism — the time axis of every
+    batch array (text ids [.., B, T], mels [.., B, T, D]) is sharded over
+    'sp'. Elementwise/prenet/LN work then touches only T/sp frames per
+    chip; GSPMD inserts the attention K/V all-gathers and conv halo
+    exchanges itself. Params stay replicated over 'sp'. The reference has
+    no long-context machinery at all (SURVEY §5.7) — this is the additive
+    TPU-native lever for sequences past one chip's HBM.
 
 The same path-based rule shards the optimizer moments because optax's
 ScaleByAdamState mirrors the param tree structure."""
@@ -23,11 +30,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """(dp, tp[, sp]) mesh. The 'sp' axis is only materialized when sp > 1
+    so existing two-axis meshes keep their exact shape."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= dp * tp, (
-        f"need {dp * tp} devices, have {len(devices)}")
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    n = dp * tp * sp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if sp > 1:
+        arr = np.asarray(devices[:n]).reshape(dp, tp, sp)
+        return Mesh(arr, ("dp", "tp", "sp"))
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 
@@ -72,9 +84,15 @@ def train_state_shardings(mesh: Mesh, ts) -> Any:
 
 
 def batch_shardings(mesh: Mesh, batches) -> Any:
-    """Stacked micro-batches [n, B, ...]: shard B over 'dp'."""
+    """Stacked micro-batches [n, B, ...]: shard B over 'dp'; when the mesh
+    has an 'sp' axis, additionally shard the time axis (dim 2 of
+    [n, B, T] text ids / [n, B, T, D] mels) over 'sp'."""
+    seq_par = "sp" in mesh.shape and mesh.shape["sp"] > 1
+
     def spec(leaf):
         ndim = leaf.ndim if hasattr(leaf, "ndim") else 0
+        if ndim >= 3 and seq_par:
+            return NamedSharding(mesh, P(None, "dp", "sp"))
         if ndim >= 2:
             return NamedSharding(mesh, P(None, "dp"))
         return NamedSharding(mesh, P())

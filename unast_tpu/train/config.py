@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--scan_layers", type=lambda s: s.lower() != "false", default=False)
     add("--dp", type=int, default=1, help="data-parallel mesh size")
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    add("--sp", type=int, default=1,
+        help="sequence-parallel mesh size (time axis sharded over 'sp')")
     add("--profile_dir", type=str, default=None,
         help="write jax.profiler traces here (observability hook)")
     add("--param_sum_metric", type=lambda s: s.lower() != "false",
