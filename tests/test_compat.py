@@ -131,3 +131,43 @@ def test_cli_round_trip(tmp_path):
                                 text, jnp.asarray([4], jnp.int32),
                                 ret_enc_hid=True)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_vocoder_import_forward_parity(tmp_path):
+    """Reference Vocoder (CBHG) torch forward == our vocoder with imported
+    weights. This doubles as the CBHG torch-parity golden (no oracle copier
+    existed for it). hidden must be 256: the reference CBHG hard-codes
+    projection_size=256 (src/module.py:541), so that's the only runnable
+    reference vocoder width."""
+    import torch
+    import jax.numpy as jnp
+    from unast_tpu.compat import import_vocoder_state_dict
+    from unast_tpu.compat.torch_import import main
+    from unast_tpu.infer.vocoder import load_vocoder_ckpt
+    from unast_tpu.models import unast as U
+    from unast_tpu import nn
+
+    ns = ref_oracle.load_reference()
+    torch.manual_seed(11)
+    n_fft = 512
+    v = ns.network.Vocoder(80, 256, n_fft)
+    v.eval()
+    mel = np.random.default_rng(5).random((2, 9, 80)).astype(np.float32)
+    with torch.no_grad():
+        want = v(torch.as_tensor(mel)).numpy()
+
+    vp, vs = import_vocoder_state_dict(v.state_dict())
+    vp = jax.tree_util.tree_map(jnp.asarray, vp)
+    vs = jax.tree_util.tree_map(jnp.asarray, vs)
+    got, _ = U.vocoder(vp, vs, nn.Ctx.eval(), jnp.asarray(mel))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+    # CLI --vocoder round trip into infer/vocoder.py's pickle format
+    ck = tmp_path / "vocoder.ckpt"
+    torch.save({"epoch": 1, "state_dict": v.state_dict()}, str(ck))
+    out = tmp_path / "vocoder.pkl"
+    main([str(ck), str(out), "--vocoder"])
+    vp2, _ = load_vocoder_ckpt(str(out))
+    np.testing.assert_array_equal(
+        np.asarray(vp2["post"]["w"]), np.asarray(vp["post"]["w"]))

@@ -6,6 +6,8 @@ maps the reference's `model.state_dict()` (src/utils.py:139-163 save
 format) into our functional param/state trees, for both backbones.
 """
 
-from .torch_import import (import_state_dict, load_reference_checkpoint)
+from .torch_import import (import_state_dict, import_vocoder_state_dict,
+                           load_reference_checkpoint)
 
-__all__ = ["import_state_dict", "load_reference_checkpoint"]
+__all__ = ["import_state_dict", "import_vocoder_state_dict",
+           "load_reference_checkpoint"]

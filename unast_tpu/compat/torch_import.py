@@ -210,6 +210,61 @@ def _rnn_decoder(sd, m):
     return p
 
 
+def _gru_layers(sd, prefix):
+    """nn.GRU (bidirectional) -> [{'fwd': cell, 'bwd': cell}]; torch gate
+    order [r z n] matches nn.gru_cell."""
+    layers = []
+    li = 0
+    while sd.has(f"{prefix}.weight_ih_l{li}"):
+        layers.append({"fwd": sd.lstm_cell(prefix, li),
+                       "bwd": sd.lstm_cell(prefix, li, "_reverse")})
+        li += 1
+    assert layers, f"no GRU at {prefix}"
+    return layers
+
+
+def import_vocoder_state_dict(state_dict):
+    """Reference Vocoder (src/network.py:627-655, CBHG) state_dict ->
+    (params, state) matching unast_tpu.models.unast.vocoder_init.
+
+    Note the reference CBHG hard-codes projection_size=256
+    (src/module.py:541), so its Vocoder only runs with hidden_size=256
+    (the first bank conv would reject any other input width); our
+    parameterization (projection == hidden) covers exactly the runnable
+    reference configs."""
+    sd = _SD(state_dict)
+    k_bank = sd.count("cbhg.convbank_list.{}.")
+    bank = [sd.conv(f"cbhg.convbank_list.{i}") for i in range(k_bank)]
+    assert bank[0]["w"].shape[1] == bank[0]["w"].shape[2], (
+        "reference CBHG projection_size (256) != hidden_size; this "
+        "checkpoint could not have run in the reference either")
+    bn_bank_p, bn_bank_s = zip(*(sd.bn(f"cbhg.batchnorm_list.{i}")
+                                 for i in range(k_bank)))
+    p1, s1 = sd.bn("cbhg.batchnorm_proj_1")
+    p2, s2 = sd.bn("cbhg.batchnorm_proj_2")
+    n_hw = sd.count("cbhg.highway.linears.{}.")
+    cbhg_p = {
+        "bank": bank, "bn_bank": list(bn_bank_p),
+        "proj1": sd.conv("cbhg.conv_projection_1"),
+        "proj2": sd.conv("cbhg.conv_projection_2"),
+        "bn_proj1": p1, "bn_proj2": p2,
+        "highway": {
+            "linears": [sd.lin(f"cbhg.highway.linears.{i}")
+                        for i in range(n_hw)],
+            "gates": [sd.lin(f"cbhg.highway.gates.{i}")
+                      for i in range(n_hw)]},
+        "gru": _gru_layers(sd, "cbhg.gru"),
+    }
+    params = {"pre": sd.conv("pre_projection"),
+              "cbhg": cbhg_p,
+              "post": sd.conv("post_projection")}
+    state = {"cbhg": {"bn_bank": list(bn_bank_s),
+                      "bn_proj1": s1, "bn_proj2": s2}}
+    unused = set(sd.sd) - sd.used
+    assert not unused, f"unmapped vocoder keys: {sorted(unused)[:8]}"
+    return params, state
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -298,10 +353,32 @@ def main(argv=None):
         description="Import a reference torch UNAST checkpoint into an "
                     "unast_tpu Orbax checkpoint")
     ap.add_argument("ckpt", help="reference model_*.ckpt (torch.save)")
-    ap.add_argument("out", help="output checkpoint directory")
+    ap.add_argument("out", help="output checkpoint directory (or, with "
+                               "--vocoder, output .pkl path)")
+    ap.add_argument("--vocoder", action="store_true",
+                    help="the ckpt is a reference Vocoder (CBHG) "
+                         "checkpoint; write infer/vocoder.py's pickle "
+                         "format instead of an Orbax model checkpoint")
     ap.add_argument("rest", nargs=argparse.REMAINDER,
                     help="config flags, e.g. --config configs/....json")
     ns = ap.parse_args(argv)
+    if "--vocoder" in ns.rest:  # REMAINDER swallows flags after positionals
+        ns.vocoder = True
+        ns.rest.remove("--vocoder")
+    if ns.vocoder:
+        import torch
+        from ..infer.vocoder import save_vocoder_ckpt
+        try:
+            blob = torch.load(ns.ckpt, map_location="cpu",
+                              weights_only=False)
+        except TypeError:
+            blob = torch.load(ns.ckpt, map_location="cpu")
+        sd = blob.get("state_dict", blob)
+        vp, vs = import_vocoder_state_dict(sd)
+        save_vocoder_ckpt(jax.tree_util.tree_map(jnp.asarray, vp),
+                          jax.tree_util.tree_map(jnp.asarray, vs), ns.out)
+        print(f"imported vocoder {ns.ckpt} -> {ns.out}")
+        return
     args = parse_with_config(ns.rest)
     cfg = model_config_from_args(args)
 
