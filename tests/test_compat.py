@@ -171,3 +171,26 @@ def test_vocoder_import_forward_parity(tmp_path):
     vp2, _ = load_vocoder_ckpt(str(out))
     np.testing.assert_array_equal(
         np.asarray(vp2["post"]["w"]), np.asarray(vp["post"]["w"]))
+
+
+@pytest.mark.parametrize("model_type", ["transformer", "rnn"])
+def test_export_round_trip(model_type, tmp_path):
+    """Two-way migration: our params -> reference state_dict loads with
+    strict=True into a freshly built reference model, and
+    import(export(x)) == x leaf-exact."""
+    import jax.numpy as jnp
+    from unast_tpu.compat import import_state_dict
+    from unast_tpu.compat.torch_export import export_state_dict
+    from unast_tpu.models import unast as U
+
+    cfg = _cfg(model_type)
+    params, state = U.unast_init(jax.random.PRNGKey(4), cfg)
+    sd = export_state_dict(params, state)
+
+    m = _build_ref(model_type, seed=9)
+    missing, unexpected = m.load_state_dict(sd, strict=True), None
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    got_p, got_s = import_state_dict(m.state_dict(), cfg)
+    _assert_trees_equal(got_p, params)
+    _assert_trees_equal(got_s, state)
