@@ -147,6 +147,46 @@ def bench_tts_infer():
             "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
 
 
+def bench_serving(n_batches=4, max_batch=8):
+    """End-to-end serving throughput through the Synthesizer API at the
+    flagship scale: batched text requests -> phonemize -> bucket-pad ->
+    KV-cached greedy TTS -> stop-length-trimmed mels. Reports utterances/s
+    and the synthesized-audio RTF of the whole serving path (host text
+    frontend + padding included, Griffin-Lim excluded — that is
+    bench_griffin_lim). Stop head forced silent so every decode runs the
+    full 815 frames (worst case)."""
+    import time as _time_mod
+    import jax
+    import numpy as np
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig()
+    params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+        params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+    syn = Synthesizer(params, state, cfg, text_buckets=(64,),
+                      mel_buckets=(816,), max_batch=max_batch)
+    texts = ["the quick brown fox jumps over the lazy dog"] * max_batch
+    syn.tts_mels(texts)  # warm the bucket
+    t0 = _time_mod.perf_counter()
+    tot = 0
+    for _ in range(n_batches):
+        mels = syn.tts_mels(texts)
+        tot += len(mels)
+    np.asarray(mels[-1])
+    dt = _time_mod.perf_counter() - t0
+    utt_s = tot / dt
+    audio_s = tot * cfg.max_mel_len * P.hop_length / P.sr
+    rtf = dt / audio_s
+    return {"metric": "serving_tts_throughput", "value": round(utt_s, 2),
+            "unit": f"utterances/s (batch {max_batch}, full 815-frame "
+                    f"decode; serving RTF {rtf:.4f})",
+            "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
+
+
 def bench_asr_infer():
     """Greedy mel->text decode (BASELINE.json config #4): full 300-step
     KV-cached text decode over an 815-frame utterance encoding."""
@@ -349,7 +389,7 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
-                             "train", "attention", "mfu"])
+                             "train", "attention", "mfu", "serve"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -360,7 +400,7 @@ def main():
     fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,
           "tts": bench_tts_infer, "asr": bench_asr_infer,
           "train": bench_train_step, "attention": bench_attention,
-          "mfu": bench_train_mfu}[args.which]
+          "mfu": bench_train_mfu, "serve": bench_serving}[args.which]
     print(json.dumps(fn()))
 
 
