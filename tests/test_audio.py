@@ -189,3 +189,24 @@ class TestGriffinLim:
         _, mag, n = wav_to_mel_mag(y, SMALL)
         wav = mag_to_wav(np.asarray(mag)[:n], SMALL)
         assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_fast_griffin_lim_momentum_converges_faster():
+    """Fast GL (gl_momentum=0.99, Perraudin et al.) reaches lower spectral-
+    convergence error than plain GL at the same small iteration budget;
+    momentum=0 stays the exact reference update."""
+    t = np.arange(int(0.5 * 22050)) / 22050
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.3 * np.sin(2 * np.pi * 931 * t)).astype(np.float32)
+    p8 = SMALL.replace(n_iter=8)
+    spec = np.abs(np.asarray(stft(jnp.asarray(y), p8)))
+
+    def sc_err(p):
+        wav = np.asarray(griffin_lim(jnp.asarray(spec), p))
+        spec2 = np.abs(np.asarray(stft(jnp.asarray(wav), p)))[: spec.shape[0]]
+        return np.linalg.norm(spec2 - spec) / np.linalg.norm(spec)
+
+    plain = sc_err(p8)
+    fast = sc_err(p8.replace(gl_momentum=0.99))
+    assert np.isfinite(fast)
+    assert fast < plain * 0.8, (plain, fast)

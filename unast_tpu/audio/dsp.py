@@ -175,18 +175,28 @@ def wav_to_mel_mag(y: np.ndarray, p: AudioParams = DEFAULT, trim: bool = True):
 @functools.partial(jax.jit, static_argnames=("p",))
 def griffin_lim(spectrogram: jnp.ndarray, p: AudioParams = DEFAULT):
     """[T, n_freqs] magnitude -> [hop*(T-1)] waveform, n_iter ISTFT<->STFT
-    rounds fully on device (parity: src/utils.py:309-320)."""
+    rounds fully on device (parity: src/utils.py:309-320).
+
+    p.gl_momentum > 0 enables fast Griffin-Lim (Perraudin et al. 2013):
+    the phase estimate extrapolates along successive consistency
+    projections (est - m/(1+m) * est_prev), converging in far fewer
+    iterations. At momentum 0 the update reduces exactly to the
+    reference's plain alternating projection."""
     window = jnp.asarray(hann_window(p.win_length, p.n_fft))
     n_frames = spectrogram.shape[0]
+    m = p.gl_momentum / (1.0 + p.gl_momentum)
+    spec_c = spectrogram.astype(jnp.complex64)
 
-    def body(_, x_best):
+    def body(_, carry):
+        x_best, est_prev = carry
         x_t = istft(x_best, p, window)
         est = stft(x_t, p, window)[:n_frames]
-        phase = est / jnp.maximum(1e-8, jnp.abs(est))
-        return spectrogram.astype(jnp.complex64) * phase
+        est_m = est - m * est_prev
+        phase = est_m / jnp.maximum(1e-8, jnp.abs(est_m))
+        return spec_c * phase, est
 
-    x0 = spectrogram.astype(jnp.complex64)
-    x_best = jax.lax.fori_loop(0, p.n_iter, body, x0)
+    x_best, _ = jax.lax.fori_loop(0, p.n_iter, body,
+                                  (spec_c, jnp.zeros_like(spec_c)))
     return istft(x_best, p, window)
 
 

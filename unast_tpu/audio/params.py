@@ -23,6 +23,7 @@ class AudioParams:
     max_db: int = 100
     ref_db: int = 20
     n_iter: int = 60              # Griffin-Lim iterations
+    gl_momentum: float = 0.0      # 0 = reference parity; ~0.99 = fast GL
     outputs_per_step: int = 1
     trim_top_db: float = 60.0     # librosa.effects.trim default
     trim_frame_length: int = 2048
