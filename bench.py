@@ -332,7 +332,13 @@ def bench_train_mfu(batch_sizes=(32, 128)):
 
     peak = _peak_flops()
     best = None
-    for bs in batch_sizes:
+    for bs, fast_prng in [(b, False) for b in batch_sizes] + [
+            (batch_sizes[-1], True)]:
+        # fast_prng: hardware RBG PRNG for dropout/noise randomness
+        # (--fast_prng in the trainer); threefry mask generation is a major
+        # train-mode cost (see BENCHMARKS.md)
+        jax.config.update("jax_default_prng_impl",
+                          "rbg" if fast_prng else "threefry2x32")
         args = parse_with_config([
             "--train_batch_size", str(bs), "--data_mel_len", "256",
             "--data_text_len", "128", "--max_mel_len", "256",
@@ -371,16 +377,19 @@ def bench_train_mfu(batch_sizes=(32, 128)):
         mfu = flops / dt / peak
         frames_s = bs * 256 / dt
         res = {"metric": "train_mfu", "value": round(mfu, 4),
-               "unit": f"MFU (bs={bs}, {frames_s:,.0f} mel frames/s, "
+               "unit": f"MFU (bs={bs}{', fast_prng' if fast_prng else ''}, "
+                       f"{frames_s:,.0f} mel frames/s, "
                        f"{flops / dt / 1e12:.2f} TFLOP/s of "
                        f"{peak / 1e12:.0f} peak)",
                "vs_baseline": round(mfu, 4),
-               "batch_size": bs, "frames_per_s": round(frames_s, 1),
+               "batch_size": bs, "fast_prng": fast_prng,
+               "frames_per_s": round(frames_s, 1),
                "tflops_per_s": round(flops / dt / 1e12, 2),
                "step_s": round(dt, 4)}
         print(json.dumps(res), file=sys.stderr)
         if best is None or res["value"] > best["value"]:
             best = res
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
     return best
 
 

@@ -342,3 +342,18 @@ def test_train_resume_from_checkpoint(args):
     ts, best = train(a2)  # resumes at epoch 1, runs one more epoch
     meta = json.load(open(ckpt + ".meta.json"))
     assert meta["epoch"] == 2
+
+
+def test_train_loop_fast_prng():
+    """--fast_prng (hardware RBG PRNG for in-step randomness) runs the full
+    loop end-to-end and trains. Restores the default impl afterwards."""
+    import jax as _jax
+    a = parse_with_config(CFG_ARGV + ["--fast_prng", "true"])
+    a.checkpoint_path = "/tmp/unast_tpu_test_ckpt_rbg"
+    shutil.rmtree(a.checkpoint_path, ignore_errors=True)
+    from unast_tpu.train.loop import train
+    try:
+        ts, best = train(a)
+        assert int(ts.step) > 0
+    finally:
+        _jax.config.update("jax_default_prng_impl", "threefry2x32")

@@ -131,6 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
     add("--sp", type=int, default=1,
         help="sequence-parallel mesh size (time axis sharded over 'sp')")
+    add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
+        help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
+             "on TPU; changes random streams vs default threefry)")
     add("--profile_dir", type=str, default=None,
         help="write jax.profiler traces here (observability hook)")
     add("--param_sum_metric", type=lambda s: s.lower() != "false",

@@ -74,6 +74,14 @@ def _val_batches(args, val_ds):
 
 
 def train(args):
+    if getattr(args, "fast_prng", False):
+        # Hardware RBG PRNG for all in-step randomness (dropout masks, DAE
+        # noise, SpecAugment). Measured 1.6x faster full train step on v5e
+        # at the flagship scale (BENCHMARKS.md) — threefry mask generation
+        # is a major cost of train-mode steps. Off by default: rbg changes
+        # the random streams (init + dropout), so reference-reproducible
+        # runs keep threefry.
+        jax.config.update("jax_default_prng_impl", "rbg")
     cfg = model_config_from_args(args)
     datasets = initialize_datasets(args)
     batch_getter = BatchGetter(args, datasets["labeled"],
