@@ -357,3 +357,23 @@ def test_train_loop_fast_prng():
         assert int(ts.step) > 0
     finally:
         _jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_serving_tts_wav_batched_vocode():
+    """Synthesizer.tts: batched fixed-bucket vocoding (one GL program per
+    (rows, bucket)) returns one silence-trimmed waveform per request."""
+    from unast_tpu.models import TINY, unast as U
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.audio.params import AudioParams
+
+    params, state = U.unast_init(jax.random.PRNGKey(0), TINY)
+    # force full-length decode so there is audio energy to keep
+    params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+        params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+    syn = Synthesizer(params, state, TINY,
+                      audio_params=AudioParams(n_iter=2),
+                      text_buckets=(8,), mel_buckets=(16, 24), max_batch=2)
+    wavs = syn.tts(["hello world", "ok then", "more"])  # 2 chunks: 2 + 1
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all()

@@ -69,6 +69,9 @@ class Synthesizer:
         self._asr_fn = jax.jit(self._asr_impl)
         self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
+        # batched fixed-shape Griffin-Lim: one compile per mel bucket
+        self._gl_batch_fn = jax.jit(jax.vmap(
+            lambda m: dsp._mag_to_wav_core(m, audio_params)))
 
     def _place(self, *arrays):
         """Shard request arrays over 'dp' (no-op without a mesh)."""
@@ -125,43 +128,65 @@ class Synthesizer:
                 return b
         return buckets[-1]
 
+    def _tts_chunk(self, chunk: List[str]):
+        """One padded/bucketed chunk of texts -> (post [rows, Tcap, n_mels]
+        jnp, stop_lens np, n_real)."""
+        seqs = [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
+                for t in chunk]
+        n = len(seqs)
+        rows = self._pad_chunk(n)
+        tl = self._bucket(self.text_buckets, max(len(s) for s in seqs))
+        ids = np.zeros((rows, tl), np.int32)
+        lens = np.zeros((rows,), np.int32)
+        for i in range(rows):
+            s = seqs[min(i, n - 1)][:tl]
+            ids[i, :len(s)] = s
+            lens[i] = len(s)
+        ids, lens = self._place(jnp.asarray(ids), jnp.asarray(lens))
+        post, stop_lens = self._tts_fn(self.params, self.net_state,
+                                       ids, lens)
+        return post, np.asarray(stop_lens), n
+
     def tts_mels(self, texts: List[str]):
         """texts -> list of (mel [T, n_mels] np.float32)."""
         out = []
         for start in range(0, len(texts), self.max_batch):
-            chunk = texts[start:start + self.max_batch]
-            seqs = [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
-                    for t in chunk]
-            n = len(seqs)
-            rows = self._pad_chunk(n)
-            tl = self._bucket(self.text_buckets, max(len(s) for s in seqs))
-            ids = np.zeros((rows, tl), np.int32)
-            lens = np.zeros((rows,), np.int32)
-            for i in range(rows):
-                s = seqs[min(i, n - 1)][:tl]
-                ids[i, :len(s)] = s
-                lens[i] = len(s)
-            ids, lens = self._place(jnp.asarray(ids), jnp.asarray(lens))
-            post, stop_lens = self._tts_fn(self.params, self.net_state,
-                                           ids, lens)
+            post, stop_lens, n = self._tts_chunk(
+                texts[start:start + self.max_batch])
             post = np.asarray(post, np.float32)
-            stop_lens = np.asarray(stop_lens)
             out.extend(post[i, : stop_lens[i]] for i in range(n))
         return out
 
     def tts(self, texts: List[str]):
-        """texts -> list of waveforms (np.float32)."""
-        wavs = []
-        for mel in self.tts_mels(texts):
+        """texts -> list of waveforms (np.float32).
+
+        Vocoding (CBHG or mel pseudo-inverse lift, then Griffin-Lim) runs
+        BATCHED at a fixed mel bucket per chunk — one compiled program per
+        (rows, bucket) instead of one Griffin-Lim compile per distinct
+        utterance length — then each waveform is cut at its stop length and
+        silence-trimmed on host."""
+        p = self.audio_params
+        out = []
+        for start in range(0, len(texts), self.max_batch):
+            post, stop_lens, n = self._tts_chunk(
+                texts[start:start + self.max_batch])
+            tb = self._bucket(self.mel_buckets,
+                              max(1, int(stop_lens[:n].max())))
+            mel_b = post[:, :tb]
             if self.vocoder_pv is not None:
                 vp, vs = self.vocoder_pv
-                mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), jnp.asarray(mel)[None])
-                mag = np.asarray(mag[0], np.float32)
+                mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), mel_b)
+                mag = jnp.clip(mag, 1e-8, 1.0)
             else:
-                mag = np.clip(np.asarray(mel) @ np.asarray(self._lift),
-                              1e-8, 1.0)
-            wavs.append(dsp.mag_to_wav(mag, self.audio_params))
-        return wavs
+                mag = jnp.clip(mel_b @ self._lift, 1e-8, 1.0)
+            wavs = np.asarray(self._gl_batch_fn(mag), np.float32)
+            for i in range(n):
+                cut = p.hop_length * max(1, int(stop_lens[i]) - 1)
+                w = wavs[i, :cut]
+                from ..audio import ref_dsp
+                w, _ = ref_dsp.trim_silence(w, p)
+                out.append(w)
+        return out
 
     def asr_ids(self, mels: List[np.ndarray], beam: int = 1):
         """mels (list of [T, n_mels]) -> list of phoneme-id np arrays.
