@@ -14,6 +14,12 @@ from unast_tpu.infer.metrics import compute_per
 from unast_tpu.models import unast as U
 from unast_tpu import nn
 
+_argv = sys.argv[1:]
+N_STEPS = 1200
+if "--grounding_steps" in _argv:
+    _i = _argv.index("--grounding_steps")
+    N_STEPS = int(_argv[_i + 1])
+    del _argv[_i:_i + 2]
 args = parse_with_config([
     "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
     "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
@@ -22,7 +28,9 @@ args = parse_with_config([
     "--data_mel_len", "112", "--data_text_len", "32",
     "--ae_steps", "0", "--cm_steps", "0", "--sp_steps", "2", "--d_steps", "0",
     "--train_batch_size", "4", "--sched_type", "multistep", "--lr", "1e-3",
-    "--optim_type", "adamw", "--compute_dtype", "bfloat16"])
+    "--optim_type", "adamw", "--compute_dtype", "bfloat16"] + _argv)
+if args.fast_prng:
+    jax.config.update("jax_default_prng_impl", "rbg")
 cfg = model_config_from_args(args)
 ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.04)
 bg = BatchGetter(args, ds, ds, ds)
@@ -59,7 +67,7 @@ def tts_infer_mse(ts):
 
 print("untrained PER:", round(per(ts), 3))
 rng = jax.random.PRNGKey(1)
-for s in range(1200):
+for s in range(N_STEPS):
     batches = jax.tree_util.tree_map(jnp.asarray, bg.step_batches(args, False))
     ts, m = step(ts, jax.random.fold_in(rng, s), batches)
     if (s + 1) % 100 == 0:
