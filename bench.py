@@ -352,7 +352,7 @@ def bench_train_mfu(batch_sizes=(32, 128)):
         bg = BatchGetter(args, ds, ds, ds)
         batches = {"sp": jax.tree_util.tree_map(
             jnp.asarray, bg.step_batches(args, False))["sp"]}
-        step = jax.jit(make_train_step(cfg, args))
+        step = jax.jit(make_train_step(cfg, args))  # no donate: ts reused
         flops = None
         try:
             compiled = step.lower(ts, jax.random.PRNGKey(1), batches).compile()
