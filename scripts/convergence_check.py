@@ -77,6 +77,8 @@ def main(argv=None):
             "--optim_type", "adamw", "--compute_dtype", "bfloat16"]
     argv_cfg += ["--ga_weight", str(known.ga_weight)] + extra
     args = parse_with_config(argv_cfg)
+    if args.fast_prng:
+        jax.config.update("jax_default_prng_impl", "rbg")
     cfg = model_config_from_args(args)
 
     # phoneme_dur 0.04s -> ~3.2 frames/phoneme, so whole utterances fit the

@@ -69,9 +69,18 @@ class Synthesizer:
         self._asr_fn = jax.jit(self._asr_impl)
         self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
-        # batched fixed-shape Griffin-Lim: one compile per mel bucket
-        self._gl_batch_fn = jax.jit(jax.vmap(
-            lambda m: dsp._mag_to_wav_core(m, audio_params)))
+        # one jitted program per (rows, bucket): mel -> mag (CBHG vocoder or
+        # pseudo-inverse lift) -> batched Griffin-Lim -> wavs. Everything in
+        # one jit — eager ops are per-op compiles on the axon TPU backend.
+        gl = jax.vmap(lambda m: dsp._mag_to_wav_core(m, audio_params))
+        if vocoder_pv is not None:
+            def _vocode(vp, vs, mel_b):
+                mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), mel_b)
+                return gl(jnp.clip(mag, 1e-8, 1.0))
+            self._vocode_fn = jax.jit(_vocode)
+        else:
+            self._vocode_fn = jax.jit(
+                lambda lift, mel_b: gl(jnp.clip(mel_b @ lift, 1e-8, 1.0)))
 
     def _place(self, *arrays):
         """Shard request arrays over 'dp' (no-op without a mesh)."""
@@ -165,6 +174,7 @@ class Synthesizer:
         (rows, bucket) instead of one Griffin-Lim compile per distinct
         utterance length — then each waveform is cut at its stop length and
         silence-trimmed on host."""
+        from ..audio import ref_dsp
         p = self.audio_params
         out = []
         for start in range(0, len(texts), self.max_batch):
@@ -175,16 +185,13 @@ class Synthesizer:
             mel_b = post[:, :tb]
             if self.vocoder_pv is not None:
                 vp, vs = self.vocoder_pv
-                mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), mel_b)
-                mag = jnp.clip(mag, 1e-8, 1.0)
+                wavs = self._vocode_fn(vp, vs, mel_b)
             else:
-                mag = jnp.clip(mel_b @ self._lift, 1e-8, 1.0)
-            wavs = np.asarray(self._gl_batch_fn(mag), np.float32)
+                wavs = self._vocode_fn(self._lift, mel_b)
+            wavs = np.asarray(wavs, np.float32)
             for i in range(n):
                 cut = p.hop_length * max(1, int(stop_lens[i]) - 1)
-                w = wavs[i, :cut]
-                from ..audio import ref_dsp
-                w, _ = ref_dsp.trim_silence(w, p)
+                w, _ = ref_dsp.trim_silence(wavs[i, :cut], p)
                 out.append(w)
         return out
 

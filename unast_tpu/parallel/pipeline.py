@@ -82,12 +82,15 @@ def pipeline_encoder(stage_params, ctx: nn.Ctx, x, pad_mask, nhead: int,
     biases = bias.reshape(n_micro, mb, 1, 1, t)
     rng_base = ctx.next_rng() if ctx.rng is not None else None
 
-    def stage_fn(lp_stage, stage_idx, x_mb, bias_mb):
+    def stage_fn(lp_stage, stage_idx, mb_idx, x_mb, bias_mb):
         """Run this stage's L/S layers sequentially on one micro-batch."""
         def body(x, li):
             lp = jax.tree_util.tree_map(lambda a: a[li], lp_stage)
-            gli = stage_idx * per_stage + li   # global layer index for rng
-            lctx = T._layer_ctx(rng_base, ctx.train, gli)
+            gli = stage_idx * per_stage + li   # global layer index
+            # distinct dropout mask per (layer, micro-batch) — matches the
+            # sequential encoder's one-independent-mask-per-row semantics
+            lctx = T._layer_ctx(rng_base, ctx.train,
+                                gli * n_micro + mb_idx)
             return T.encoder_layer(lp, lctx, x, bias_mb, nhead, dropout_p), None
         x_mb, _ = jax.lax.scan(body, x_mb, jnp.arange(per_stage))
         return x_mb
@@ -111,7 +114,7 @@ def pipeline_encoder(stage_params, ctx: nn.Ctx, x, pad_mask, nhead: int,
             # stage s at tick k holds micro-batch k - s
             mbi = jnp.clip(k - sidx, 0, n_micro - 1)
             bias_mb = jax.lax.dynamic_index_in_dim(biases, mbi, keepdims=False)
-            y = stage_fn(lp_stage, sidx, cur, bias_mb)
+            y = stage_fn(lp_stage, sidx, mbi, cur, bias_mb)
             # last stage finishes micro-batch k-(S-1) at tick k
             done = jnp.clip(k - (pp - 1), 0, n_micro - 1)
             store = (sidx == pp - 1) & (k >= pp - 1)
