@@ -76,12 +76,14 @@ class _Out:
 def _pos_emb(out, m, d):
     """The reference registers the sinusoidal PE table as a buffer
     (src/module.py:249-267); recompute it so strict load_state_dict works."""
-    pos = np.arange(5000)[:, None]
-    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
-    pe = np.zeros((5000, d), np.float32)
-    pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div)
-    out.raw(f"{m}.pos_emb.pe", pe[None])
+    import torch
+    pos = torch.arange(0, 5000, dtype=torch.float).unsqueeze(1)
+    div = torch.exp(torch.arange(0, d, 2).float()
+                    * (-np.log(10000.0) / d))
+    pe = torch.zeros(5000, d)
+    pe[:, 0::2] = torch.sin(pos * div)
+    pe[:, 1::2] = torch.cos(pos * div)
+    out.sd[f"{m}.pos_emb.pe"] = pe.unsqueeze(0)
 
 
 def export_state_dict(params, net_state):
