@@ -377,3 +377,20 @@ def test_serving_tts_wav_batched_vocode():
     assert len(wavs) == 3
     for w in wavs:
         assert w.ndim == 1 and np.isfinite(w).all()
+
+
+def test_train_loop_auto_resume():
+    """--auto_resume picks up model_most_recent.ckpt from checkpoint_path
+    without an explicit --load_path (preemption-safe restart)."""
+    from unast_tpu.train.loop import train
+    a = parse_with_config(CFG_ARGV)
+    a.checkpoint_path = "/tmp/unast_tpu_test_ckpt_autoresume"
+    shutil.rmtree(a.checkpoint_path, ignore_errors=True)
+    ts1, _ = train(a)
+
+    b = parse_with_config(CFG_ARGV + ["--auto_resume", "true",
+                                      "--epochs", "2"])
+    b.checkpoint_path = a.checkpoint_path
+    ts2, _ = train(b)
+    # first run did 1 epoch_step; resumed run continues to step 2
+    assert int(ts2.step) == int(ts1.step) + 1

@@ -134,6 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
+    add("--auto_resume", type=lambda s: s.lower() != "false", default=False,
+        help="resume from checkpoint_path/model_most_recent.ckpt if "
+             "present (preemption-safe restarts without --load_path)")
     add("--profile_dir", type=str, default=None,
         help="write jax.profiler traces here (observability hook)")
     add("--param_sum_metric", type=lambda s: s.lower() != "false",

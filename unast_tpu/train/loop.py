@@ -95,6 +95,15 @@ def train(args):
     key = jax.random.PRNGKey(args.seed)
     ts = init_train_state(key, cfg, args)
     s_epoch, best = 0, 300.0
+    if not args.load_path and getattr(args, "auto_resume", False):
+        # Preemption-safe restart: pick up the newest checkpoint in
+        # checkpoint_path without an explicit --load_path (capability add;
+        # the reference resumes only via explicit load_path,
+        # src/train.py:936-942).
+        cand = os.path.join(args.checkpoint_path, "model_most_recent.ckpt")
+        if os.path.exists(cand):
+            args.load_path = cand
+            print(f"[INFO] auto_resume: {cand}")
     if args.load_path and os.path.exists(args.load_path):
         s_epoch, best, ts, _ = load_ckp(args.load_path, ts)
         print(f"[INFO] Training from epoch {s_epoch}.")
