@@ -132,6 +132,17 @@ def test_cli_round_trip(tmp_path):
                                 ret_enc_hid=True)
     assert np.isfinite(np.asarray(logits)).all()
 
+    # export CLI: Orbax ckpt -> reference torch format; the reference model
+    # loads it strict=True and its state_dict equals the original's
+    from unast_tpu.compat.torch_export import main as export_main
+    back = tmp_path / "back.ckpt"
+    export_main([str(out / "model_most_recent.ckpt"), str(back)] + flags)
+    blob = torch.load(str(back), map_location="cpu", weights_only=False)
+    assert blob["epoch"] == 3
+    m.load_state_dict(blob["state_dict"], strict=True)
+    for k, v in m.state_dict().items():
+        np.testing.assert_allclose(v.numpy(), blob["state_dict"][k].numpy())
+
 
 def test_vocoder_import_forward_parity(tmp_path):
     """Reference Vocoder (CBHG) torch forward == our vocoder with imported
