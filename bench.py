@@ -402,8 +402,8 @@ def main():
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
-                   bench_asr_infer, bench_train_step, bench_attention,
-                   bench_train_mfu):
+                   bench_asr_infer, bench_serving, bench_train_step,
+                   bench_attention, bench_train_mfu):
             print(json.dumps(fn()))
         return
     fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,

@@ -82,8 +82,23 @@ def train(args):
         # the random streams (init + dropout), so reference-reproducible
         # runs keep threefry.
         jax.config.update("jax_default_prng_impl", "rbg")
+    from ..parallel.multihost import (maybe_initialize_distributed,
+                                      HostShardedDataset)
+    maybe_initialize_distributed()
     cfg = model_config_from_args(args)
     datasets = initialize_datasets(args)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # Pod path: each host reads a strided corpus shard and contributes
+        # train_batch_size/n_proc rows per micro-batch; the global sharded
+        # batch is assembled below (make_array_from_process_local_data) and
+        # XLA's dp psum reduces grads over ICI/DCN as usual.
+        assert args.train_batch_size % n_proc == 0, (
+            f"global batch {args.train_batch_size} must divide over "
+            f"{n_proc} hosts")
+        args.train_batch_size //= n_proc
+        for k in ("labeled", "unlabeled", "full"):
+            datasets[k] = HostShardedDataset(datasets[k])
     batch_getter = BatchGetter(args, datasets["labeled"],
                                datasets["unlabeled"], datasets["full"],
                                n_mels=args.num_mels)
@@ -141,7 +156,14 @@ def train(args):
         example = jax.tree_util.tree_map(
             jnp.asarray, batch_getter.step_batches(args, cfg.use_discriminator))
         train_step, ts = shard_train_step(step_fn, mesh, ts, example)
-        _b_shard = lambda b: jax.device_put(b, batch_shardings(mesh, b))
+        if n_proc > 1:
+            # each host holds only its local rows; assemble the global
+            # sharded batch arrays across processes
+            _b_shard = lambda b: jax.tree_util.tree_map(
+                lambda leaf, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(leaf)), b, batch_shardings(mesh, b))
+        else:
+            _b_shard = lambda b: jax.device_put(b, batch_shardings(mesh, b))
     else:
         train_step = jax.jit(step_fn, donate_argnums=(0,))
         _b_shard = lambda b: b
