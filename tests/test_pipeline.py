@@ -394,3 +394,34 @@ def test_train_loop_auto_resume():
     ts2, _ = train(b)
     # first run did 1 epoch_step; resumed run continues to step 2
     assert int(ts2.step) == int(ts1.step) + 1
+
+
+def test_sequence_parallel_matches_unsharded():
+    """The same tiny train step over a (dp1, tp1, sp2) mesh must produce
+    the same metrics as the unsharded step — GSPMD sequence sharding is a
+    layout choice, not a semantic one."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.parallel import make_mesh, shard_train_step, batch_shardings
+    from unast_tpu.train.steps import init_train_state, make_train_step
+
+    args, cfg = g._tiny_cfg_args()
+    args.train_batch_size = 4
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, use_discriminator=True))
+    step_fn = make_train_step(cfg, args)
+
+    _, ref_m = jax.jit(step_fn)(ts, jax.random.PRNGKey(1), batches)
+    ref = {k: float(v) for k, v in ref_m.items()}
+
+    mesh = make_mesh(1, 1, 2)
+    sharded_step, ts_sh = shard_train_step(step_fn, mesh, ts, batches)
+    b_sh = jax.device_put(batches, batch_shardings(mesh, batches))
+    _, sp_m = sharded_step(ts_sh, jax.random.PRNGKey(1), b_sh)
+    for k, v in ref.items():
+        np.testing.assert_allclose(float(sp_m[k]), v, rtol=2e-4, atol=2e-4,
+                                   err_msg=k)
