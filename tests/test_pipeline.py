@@ -425,3 +425,35 @@ def test_sequence_parallel_matches_unsharded():
     for k, v in ref.items():
         np.testing.assert_allclose(float(sp_m[k]), v, rtol=2e-4, atol=2e-4,
                                    err_msg=k)
+
+
+def test_multihost_two_process_train():
+    """REAL multi-process distributed training on CPU: two OS processes,
+    one virtual device each, glued by jax.distributed into a 2-device
+    global dp mesh — the loop's pod path (per-host dataset shards +
+    make_array_from_process_local_data batch assembly) end-to-end."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in (0, 1)]
+    try:
+        # generous: two JAX processes share this host's single core, so
+        # the one compile takes ~8 min here (seconds on a real machine)
+        outs = [p.communicate(timeout=1100)[0] for p in procs]
+    finally:
+        for p in procs:           # never leak workers, even on timeout
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"p{pid} failed:\n{out[-3000:]}"
+        assert f"[p{pid}] DONE step=1" in out, out[-3000:]
