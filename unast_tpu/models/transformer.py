@@ -51,6 +51,21 @@ def _split_heads(x, nhead: int):
     return x.reshape(b, t, nhead, d // nhead)
 
 
+def _fused_proj(ps, x):
+    """Apply several same-input linear projections as ONE wide matmul.
+
+    `ps` is a list of {"w": [D, D'], "b": [D']} dicts; the weights are
+    concatenated along the output dim at apply time (the param tree keeps
+    the separate q/k/v entries for torch-checkpoint parity). At d_model=256
+    the separate projections are bandwidth-bound — x is re-read from HBM
+    per projection — so fusing q/k/v into a [D, 3D] matmul reads the
+    activation once and fills the MXU wider."""
+    w = jnp.concatenate([p["w"] for p in ps], axis=1)
+    b = jnp.concatenate([p["b"] for p in ps])
+    y = jnp.dot(x, w.astype(x.dtype)) + b.astype(x.dtype)
+    return jnp.split(y, len(ps), axis=-1)  # all projections are [D, D]
+
+
 def attention_core(q, k, v, bias, ctx: nn.Ctx, dropout_p: float,
                    weights_out=None):
     """q: [B, Tq, H, Dh], k/v: [B, Tk, H, Dh], bias: [B|1, 1|H, Tq, Tk] additive.
@@ -80,9 +95,12 @@ def mha(p, ctx: nn.Ctx, q_in, kv_in, bias, nhead: int, dropout_p: float,
     (ops/attention.py) using (kv_lens, causal) instead of the additive bias;
     attention-weight dropout is not applied on that path (and weights_out is
     unavailable — flash never materializes the probs)."""
-    q = _split_heads(nn.linear(p["q"], q_in), nhead)
-    k = _split_heads(nn.linear(p["k"], kv_in), nhead)
-    v = _split_heads(nn.linear(p["v"], kv_in), nhead)
+    if q_in is kv_in:  # self-attention: one [D, 3D] matmul
+        q, k, v = _fused_proj([p["q"], p["k"], p["v"]], q_in)
+    else:              # cross-attention: q alone + fused [D, 2D] k/v
+        q = nn.linear(p["q"], q_in)
+        k, v = _fused_proj([p["k"], p["v"]], kv_in)
+    q, k, v = (_split_heads(x, nhead) for x in (q, k, v))
     if impl == "flash" and weights_out is None:
         from ..ops import flash_attention
         o = flash_attention(q, k, v, kv_lens, causal=causal)
@@ -283,12 +301,10 @@ def init_cache(p, memory, max_len: int, nhead: int) -> DecodeCache:
     b, ts, d = memory.shape
     nlayers = len(p["layers"])
     dh = d // nhead
-    cross_k = jnp.stack([
-        _split_heads(nn.linear(lp["cross"]["k"], memory), nhead)
-        for lp in p["layers"]])
-    cross_v = jnp.stack([
-        _split_heads(nn.linear(lp["cross"]["v"], memory), nhead)
-        for lp in p["layers"]])
+    kv = [_fused_proj([lp["cross"]["k"], lp["cross"]["v"]], memory)
+          for lp in p["layers"]]
+    cross_k = jnp.stack([_split_heads(k, nhead) for k, _ in kv])
+    cross_v = jnp.stack([_split_heads(v, nhead) for _, v in kv])
     zeros = jnp.zeros((nlayers, b, max_len, nhead, dh), memory.dtype)
     return DecodeCache(zeros, zeros, cross_k, cross_v)
 
@@ -297,9 +313,8 @@ def _decoder_step_layer(lp, ctx: nn.Ctx, x, pos, sk, sv, ck, cv, self_bias,
                         mem_bias, nhead: int, dropout_p: float):
     """One layer of one decode step. sk/sv: [B, max_len, H, Dh] self caches
     for THIS layer; ck/cv: precomputed cross K/V. Returns (x, sk, sv)."""
-    q = _split_heads(nn.linear(lp["self"]["q"], x), nhead)
-    k_t = _split_heads(nn.linear(lp["self"]["k"], x), nhead)
-    v_t = _split_heads(nn.linear(lp["self"]["v"], x), nhead)
+    q, k_t, v_t = (_split_heads(y, nhead) for y in _fused_proj(
+        [lp["self"]["q"], lp["self"]["k"], lp["self"]["v"]], x))
     sk = jax.lax.dynamic_update_slice_in_dim(sk, k_t, pos, axis=1)
     sv = jax.lax.dynamic_update_slice_in_dim(sv, v_t, pos, axis=1)
     a = attention_core(q, sk, sv, self_bias, ctx, dropout_p)
@@ -353,9 +368,8 @@ def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
     self_k, self_v = cache.self_k, cache.self_v
     zero = jnp.int32(0)
     for li, lp in enumerate(p["layers"]):
-        q = _split_heads(nn.linear(lp["self"]["q"], x), nhead)
-        k_t = _split_heads(nn.linear(lp["self"]["k"], x), nhead)
-        v_t = _split_heads(nn.linear(lp["self"]["v"], x), nhead)
+        q, k_t, v_t = (_split_heads(y, nhead) for y in _fused_proj(
+            [lp["self"]["q"], lp["self"]["k"], lp["self"]["v"]], x))
         self_k = jax.lax.dynamic_update_slice(
             self_k, k_t[None], (jnp.int32(li), zero, pos, zero, zero))
         self_v = jax.lax.dynamic_update_slice(
