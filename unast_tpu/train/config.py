@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
              "only)")
     add("--ga_sigma", type=float, default=0.2,
         help="guided-attention diagonal bandwidth")
+    add("--stop_threshold", type=float, default=0.5,
+        help="greedy speech decode stops when sigmoid(stop) >= this "
+             "(0.5 = reference; see the stop-calibration study in "
+             "BENCHMARKS.md)")
 
     # sequence caps / buckets (TPU static shapes)
     add("--max_mel_len", type=int, default=815)
@@ -181,6 +185,7 @@ def model_config_from_args(args):
         disc_bidirectional=args.disc_bidirectional,
         disc_num_layers=args.disc_num_layers,
         max_mel_len=args.max_mel_len, max_text_len=args.max_text_len,
+        stop_threshold=getattr(args, "stop_threshold", 0.5),
         compute_dtype=args.compute_dtype,
         attn_impl=getattr(args, "attn_impl", "xla"),
         scan_layers=getattr(args, "scan_layers", False),
