@@ -187,6 +187,36 @@ def bench_serving(n_batches=4, max_batch=8):
             "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
 
 
+def bench_vocoder(batch=16, frames=816):
+    """CBHG vocoder (mel->magnitude, src/train_vocoder.py scale: conv bank
+    K16 + highway + bidirectional GRU) inference RTF on device. The GRU is
+    a lax.scan over time — sequential per step but batch-parallel, so the
+    batch dim is what fills the chip."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig()
+    params, vstate = U.vocoder_init(jax.random.PRNGKey(0), cfg, P.n_fft)
+    mel = jax.random.uniform(jax.random.PRNGKey(1),
+                             (batch, frames, cfg.num_mels), jnp.float32)
+
+    @jax.jit
+    def run(mel):
+        mag, _ = U.vocoder(params, vstate, nn.Ctx.eval(), mel)
+        return mag
+
+    dt = _time(lambda: float(run(mel)[0, 0, 0]), iters=3, warmup=2)
+    audio_s = batch * frames * P.hop_length / P.sr
+    rtf = dt / audio_s
+    return {"metric": "vocoder_rtf", "value": round(rtf, 5),
+            "unit": f"x realtime (batch {batch}, {frames} frames)",
+            "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
+
+
 def bench_asr_infer():
     """Greedy mel->text decode (BASELINE.json config #4): full 300-step
     KV-cached text decode over an 815-frame utterance encoding."""
@@ -398,18 +428,20 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
-                             "train", "attention", "mfu", "serve"])
+                             "train", "attention", "mfu", "serve",
+                             "vocoder"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
-                   bench_asr_infer, bench_serving, bench_train_step,
-                   bench_attention, bench_train_mfu):
+                   bench_asr_infer, bench_serving, bench_vocoder,
+                   bench_train_step, bench_attention, bench_train_mfu):
             print(json.dumps(fn()))
         return
     fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,
           "tts": bench_tts_infer, "asr": bench_asr_infer,
           "train": bench_train_step, "attention": bench_attention,
-          "mfu": bench_train_mfu, "serve": bench_serving}[args.which]
+          "mfu": bench_train_mfu, "serve": bench_serving,
+          "vocoder": bench_vocoder}[args.which]
     print(json.dumps(fn()))
 
 

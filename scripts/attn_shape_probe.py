@@ -7,9 +7,13 @@ Usage: python scripts/attn_shape_probe.py [--B 256] [--T 256] [--iters 16]
 """
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
