@@ -436,3 +436,17 @@ def test_beam_search_and_sampling(tr_model):
                             temperature=1.0)
     assert s1.shape == greedy.shape
     assert not np.array_equal(np.asarray(s1), np.asarray(s2))  # stochastic
+
+
+def test_fused_proj_matches_separate_linears():
+    """_fused_proj (one [D, n*D] matmul over concatenated weights) must
+    reproduce the separate per-projection linears exactly — the param tree
+    keeps distinct q/k/v entries for torch-checkpoint parity."""
+    d = 32
+    ks = jax.random.split(KEY, 4)
+    ps = [nn.linear_init(k, d, d, torch_default=True) for k in ks[:3]]
+    x = jax.random.normal(ks[3], (2, 5, d), jnp.float32)
+    fused = T._fused_proj(ps, x)
+    for y, p in zip(fused, ps):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(nn.linear(p, x)),
+                                   atol=1e-6)
