@@ -309,3 +309,35 @@ def test_train_step_with_guided_attention():
     assert np.isfinite(float(m["sp/ga_sp"])) and float(m["sp/ga_sp"]) > 0
     assert np.isfinite(float(m["ae/ga_ae"]))
     assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_remat_step_matches_scan_layers():
+    """--remat (jax.checkpoint around each transformer layer) must be a pure
+    memory/compute trade: losses AND grad_norm equal the scan_layers step
+    exactly — both derive per-layer dropout keys by folding the layer index
+    from one base key (the unrolled no-remat path uses the sequential
+    counter stream instead, a documented deviation shared with
+    scan_layers)."""
+    base = ["--train_batch_size", "2", "--data_mel_len", "16",
+            "--data_text_len", "8", "--max_mel_len", "16",
+            "--max_text_len", "8", "--ae_steps", "0", "--cm_steps", "0",
+            "--sp_steps", "1", "--d_steps", "0",
+            "--use_discriminator", "false", "--hidden", "16", "--e_in", "16",
+            "--t_emb_dim", "16", "--s_pre_hid", "16", "--ffn_dim", "32",
+            "--num_layers", "2", "--nhead", "2",
+            "--compute_dtype", "float32"]
+    res = {}
+    for name, extra in (("remat", ["--remat", "true"]),
+                        ("scan", ["--scan_layers", "true"])):
+        args = parse_with_config(base + extra)
+        cfg = model_config_from_args(args)
+        ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+        ds = SyntheticSpeechDataset(size=4, seed=0)
+        bg = BatchGetter(args, ds, ds, ds)
+        batches = {"sp": jax.tree_util.tree_map(
+            jnp.asarray, bg.step_batches(args, False))["sp"]}
+        step = jax.jit(make_train_step(cfg, args))
+        _, m = step(ts, jax.random.PRNGKey(1), batches)
+        res[name] = {k: float(v) for k, v in m.items()}
+    for k, v in res["remat"].items():
+        np.testing.assert_allclose(v, res["scan"][k], rtol=1e-5, err_msg=k)

@@ -85,6 +85,11 @@ class ModelConfig:
     # (identical math; per-layer dropout rng folded from the layer index).
     scan_layers: bool = False
 
+    # Rematerialize transformer layers in the backward pass
+    # (jax.checkpoint): ~1/3 extra FLOPs for O(num_layers) less activation
+    # HBM — the lever that admits large-width training on one chip.
+    remat: bool = False
+
     @property
     def dtype(self):
         """Activation dtype. Params stay float32; nn.* apply fns cast

@@ -84,7 +84,7 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
     x = M.positional_encoding(ctx, x)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
-                       scan_layers=cfg.scan_layers)
+                       scan_layers=cfg.scan_layers, remat=cfg.remat)
     return (memory, pad_mask), {"prenet": prenet_s}
 
 
@@ -100,7 +100,7 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
-                  scan_layers=cfg.scan_layers,
+                  scan_layers=cfg.scan_layers, remat=cfg.remat,
                   cross_weights_out=cross_weights_out)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
@@ -266,7 +266,7 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
     x = M.positional_encoding(ctx, x)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
-                       scan_layers=cfg.scan_layers)
+                       scan_layers=cfg.scan_layers, remat=cfg.remat)
     return (memory, pad_mask), s
 
 
@@ -282,7 +282,7 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
-                  scan_layers=cfg.scan_layers,
+                  scan_layers=cfg.scan_layers, remat=cfg.remat,
                   cross_weights_out=cross_weights_out)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)

@@ -176,15 +176,36 @@ def _layer_ctx(base, train: bool, li):
 
 
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
-            impl: str = "xla", scan_layers: bool = False):
+            impl: str = "xla", scan_layers: bool = False,
+            remat: bool = False):
     """x: [B, T, D], pad_mask: bool [B, T] True=PAD.
 
     scan_layers=True runs the stack as a lax.scan over stacked layer params:
     the compiled program contains ONE layer body instead of L inlined copies
-    — a large XLA compile-time win for the full training graph."""
+    — a large XLA compile-time win for the full training graph.
+
+    remat=True wraps each layer in jax.checkpoint: activations inside the
+    layer are recomputed in the backward pass instead of saved — the
+    standard TPU HBM lever (trades ~1/3 extra FLOPs for O(L) less
+    activation memory), which is what admits large-width training on one
+    chip (BENCHMARKS.md width sweep)."""
     bias = padding_bias(pad_mask)
     kv_lens = jnp.sum(~pad_mask, axis=1) if impl == "flash" else None
     if not scan_layers:
+        if remat:
+            rng_base = ctx.next_rng() if ctx.rng is not None else None
+
+            def one(lp, key, x, bias, kv_lens):
+                return encoder_layer(lp, nn.Ctx(rng=key, train=ctx.train),
+                                     x, bias, nhead, dropout_p,
+                                     impl=impl, kv_lens=kv_lens)
+
+            one = jax.checkpoint(one)
+            for li, lp in enumerate(p["layers"]):
+                key = (jax.random.fold_in(rng_base, li)
+                       if rng_base is not None else None)
+                x = one(lp, key, x, bias, kv_lens)
+            return x
         for lp in p["layers"]:
             x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p,
                               impl=impl, kv_lens=kv_lens)
@@ -200,6 +221,8 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
                           nhead, dropout_p, impl=impl, kv_lens=kv_lens)
         return y, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     return x
 
@@ -242,11 +265,13 @@ def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
 
 def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
             nhead: int, dropout_p: float, impl: str = "xla",
-            scan_layers: bool = False, cross_weights_out=None):
+            scan_layers: bool = False, cross_weights_out=None,
+            remat: bool = False):
     """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D].
     If `cross_weights_out` is a list, per-layer cross-attention probs
     [B, H, Tt, Ts] (f32) are appended — consumed by the guided-attention
-    loss."""
+    loss. remat: see encoder (disabled when cross_weights_out is requested
+    — the guided-attention loss needs the probs saved)."""
     t = x.shape[1]
     self_bias = causal_bias(t) + padding_bias(tgt_pad_mask)
     cross_bias = padding_bias(mem_pad_mask)
@@ -254,7 +279,25 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
     if impl == "flash":
         tgt_lens = jnp.sum(~tgt_pad_mask, axis=1)
         mem_lens = jnp.sum(~mem_pad_mask, axis=1)
+    remat = remat and cross_weights_out is None
     if not scan_layers:
+        if remat:
+            rng_base = ctx.next_rng() if ctx.rng is not None else None
+
+            def one(lp, key, x, memory, self_bias, cross_bias,
+                    tgt_lens, mem_lens):
+                return decoder_layer(lp, nn.Ctx(rng=key, train=ctx.train),
+                                     x, memory, self_bias, cross_bias,
+                                     nhead, dropout_p, impl=impl,
+                                     tgt_lens=tgt_lens, mem_lens=mem_lens)
+
+            one = jax.checkpoint(one)
+            for li, lp in enumerate(p["layers"]):
+                key = (jax.random.fold_in(rng_base, li)
+                       if rng_base is not None else None)
+                x = one(lp, key, x, memory, self_bias, cross_bias,
+                        tgt_lens, mem_lens)
+            return x
         for lp in p["layers"]:
             x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
                               nhead, dropout_p, impl=impl,
@@ -275,6 +318,8 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                           cross_weights_out=ws)
         return y, (ws[0] if ws is not None else jnp.zeros((), x.dtype))
 
+    if remat:
+        body = jax.checkpoint(body)
     x, ws = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     if cross_weights_out is not None:
         cross_weights_out.extend(ws)  # stacked [L, B, H, Tt, Ts] unbinds

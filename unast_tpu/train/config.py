@@ -131,6 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["float32", "bfloat16"])
     add("--attn_impl", type=str, default="xla", choices=["xla", "flash"])
     add("--scan_layers", type=lambda s: s.lower() != "false", default=False)
+    add("--remat", type=lambda s: s.lower() != "false", default=False,
+        help="rematerialize transformer layers in the backward pass "
+             "(jax.checkpoint): trades ~1/3 extra FLOPs for O(layers) "
+             "less activation HBM -- enables large-width training. "
+             "Per-layer dropout keys fold the layer index from one base "
+             "key (same streams as --scan_layers)")
     add("--dp", type=int, default=1, help="data-parallel mesh size")
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
     add("--sp", type=int, default=1,
@@ -189,4 +195,5 @@ def model_config_from_args(args):
         compute_dtype=args.compute_dtype,
         attn_impl=getattr(args, "attn_impl", "xla"),
         scan_layers=getattr(args, "scan_layers", False),
+        remat=getattr(args, "remat", False),
     )
