@@ -90,6 +90,20 @@ class ModelConfig:
     # HBM — the lever that admits large-width training on one chip.
     remat: bool = False
 
+    # Mixture-of-Experts FFN (models/moe.py). moe_experts > 0 replaces the
+    # dense transformer FFN with a Switch/GShard-style sparse FFN of that
+    # many experts; expert-stacked weights shard over the mesh's 'ep' axis
+    # (parallel/mesh.py). 0 = dense (reference parity). Pure TPU-native
+    # capability add — the reference has no MoE (SURVEY §2.3).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+
+    @property
+    def moe_opts(self):
+        """(top_k, capacity_factor) bundle threaded to transformer FFNs."""
+        return (self.moe_top_k, self.moe_capacity_factor)
+
     @property
     def dtype(self):
         """Activation dtype. Params stay float32; nn.* apply fns cast

@@ -66,9 +66,9 @@ def text_transformer_init(key, cfg: ModelConfig):
     params = {
         "prenet": prenet_p,
         "encoder": T.encoder_init(ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim,
-                                  cfg.num_layers),
+                                  cfg.num_layers, moe=cfg.moe_experts),
         "decoder": T.decoder_init(ks[2], cfg.e_in, cfg.nhead, cfg.ffn_dim,
-                                  cfg.num_layers),
+                                  cfg.num_layers, moe=cfg.moe_experts),
         "postnet": M.text_postnet_init(ks[3], cfg),
     }
     return params, {"prenet": prenet_s}
@@ -84,7 +84,8 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
     x = M.positional_encoding(ctx, x)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
-                       scan_layers=cfg.scan_layers, remat=cfg.remat)
+                       scan_layers=cfg.scan_layers, remat=cfg.remat,
+                       moe_opts=cfg.moe_opts)
     return (memory, pad_mask), {"prenet": prenet_s}
 
 
@@ -101,7 +102,8 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
                   scan_layers=cfg.scan_layers, remat=cfg.remat,
-                  cross_weights_out=cross_weights_out)
+                  cross_weights_out=cross_weights_out,
+                  moe_opts=cfg.moe_opts)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
 
@@ -134,7 +136,8 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
         x = M.positional_encoding(ctx_i, x, offset=i)
         h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
                                   cfg.nhead, cfg.d_drop,
-                                  scan_layers=cfg.scan_layers)
+                                  scan_layers=cfg.scan_layers,
+                                  moe_opts=cfg.moe_opts)
         logits = M.text_postnet(p["postnet"], ctx_i, h, cfg)
         if temperature > 0:
             choice = jax.random.categorical(
@@ -195,7 +198,8 @@ def text_tr_beam_search(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
         x = M.positional_encoding(ctx_i, x, offset=i)
         h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
                                   cfg.nhead, cfg.d_drop,
-                                  scan_layers=cfg.scan_layers)
+                                  scan_layers=cfg.scan_layers,
+                                  moe_opts=cfg.moe_opts)
         logits = M.text_postnet(p["postnet"], ctx_i, h, cfg)[:, -1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # frozen beams: only EOS continuation, no score change
@@ -251,9 +255,9 @@ def speech_transformer_init(key, cfg: ModelConfig):
     params = {
         "prenet": M.speech_prenet_init(ks[0], cfg),
         "encoder": T.encoder_init(ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim,
-                                  cfg.num_layers),
+                                  cfg.num_layers, moe=cfg.moe_experts),
         "decoder": T.decoder_init(ks[2], cfg.e_in, cfg.nhead, cfg.ffn_dim,
-                                  cfg.num_layers),
+                                  cfg.num_layers, moe=cfg.moe_experts),
         "postnet": postnet_p,
     }
     return params, {"postnet": postnet_s}
@@ -266,7 +270,8 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
     x = M.positional_encoding(ctx, x)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
-                       scan_layers=cfg.scan_layers, remat=cfg.remat)
+                       scan_layers=cfg.scan_layers, remat=cfg.remat,
+                       moe_opts=cfg.moe_opts)
     return (memory, pad_mask), s
 
 
@@ -283,7 +288,8 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
                   scan_layers=cfg.scan_layers, remat=cfg.remat,
-                  cross_weights_out=cross_weights_out)
+                  cross_weights_out=cross_weights_out,
+                  moe_opts=cfg.moe_opts)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
     return (pre, pre + resid, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
@@ -316,7 +322,8 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
         x = M.positional_encoding(ctx_i, x, offset=i)
         h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
                                   cfg.nhead, cfg.d_drop,
-                                  scan_layers=cfg.scan_layers)
+                                  scan_layers=cfg.scan_layers,
+                                  moe_opts=cfg.moe_opts)
         mel_t, stop_t = M.speech_mel_and_stop(p["postnet"], h)
         frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
         stops = jax.lax.dynamic_update_slice_in_dim(

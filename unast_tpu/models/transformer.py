@@ -132,34 +132,64 @@ def causal_bias(t: int):
 # ---------------------------------------------------------------------------
 
 
-def encoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int):
+def encoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int,
+                       moe: int = 0):
     ks = jax.random.split(key, 3)
-    return {
+    p = {
         "attn": mha_init(ks[0], d_model, nhead),
-        "lin1": nn.linear_init(ks[1], d_model, ffn_dim, torch_default=True),
-        "lin2": nn.linear_init(ks[2], ffn_dim, d_model, torch_default=True),
         "ln1": nn.layernorm_init(d_model),
         "ln2": nn.layernorm_init(d_model),
     }
+    if moe > 0:
+        from . import moe as MoE
+        p["moe"] = MoE.moe_init(ks[1], d_model, ffn_dim, moe)
+    else:
+        p["lin1"] = nn.linear_init(ks[1], d_model, ffn_dim, torch_default=True)
+        p["lin2"] = nn.linear_init(ks[2], ffn_dim, d_model, torch_default=True)
+    return p
 
 
-def _ffn(p, ctx: nn.Ctx, x, dropout_p: float):
+def _ffn(p, ctx: nn.Ctx, x, dropout_p: float, pad_mask=None,
+         moe_opts=(1, 1.25)):
+    """Dense FFN, or the sparse MoE FFN when the layer carries expert params
+    (ModelConfig.moe_experts > 0; models/moe.py)."""
+    if "moe" in p:
+        from . import moe as MoE
+        return MoE.moe_ffn(p["moe"], ctx, x, pad_mask, dropout_p,
+                           top_k=moe_opts[0], capacity_factor=moe_opts[1])
     h = nn.dropout(ctx, jax.nn.relu(nn.linear(p["lin1"], x)), dropout_p)
     return nn.linear(p["lin2"], h)
 
 
+def _has_moe(p) -> bool:
+    return "moe" in p["layers"][0]
+
+
+def _take_aux(inner: nn.Ctx):
+    """Sum of aux losses collected by an inner-layer ctx (0 when none).
+    Scanned/rematerialized layer bodies use an inner ctx with its OWN aux
+    list and return this sum as a body output — appending to the outer
+    list from inside a scan/checkpoint region would leak tracers."""
+    if inner.aux_losses:
+        return sum(inner.aux_losses)
+    return jnp.float32(0.0)
+
+
 def encoder_layer(p, ctx: nn.Ctx, x, bias, nhead: int, dropout_p: float,
-                  impl: str = "xla", kv_lens=None):
+                  impl: str = "xla", kv_lens=None, pad_mask=None,
+                  moe_opts=(1, 1.25)):
     a = mha(p["attn"], ctx, x, x, bias, nhead, dropout_p,
             impl=impl, kv_lens=kv_lens)
     x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
-    f = _ffn(p, ctx, x, dropout_p)
+    f = _ffn(p, ctx, x, dropout_p, pad_mask=pad_mask, moe_opts=moe_opts)
     return nn.layernorm(p["ln2"], x + nn.dropout(ctx, f, dropout_p))
 
 
-def encoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
+def encoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int,
+                 moe: int = 0):
     ks = jax.random.split(key, nlayers)
-    return {"layers": [encoder_layer_init(k, d_model, nhead, ffn_dim) for k in ks]}
+    return {"layers": [encoder_layer_init(k, d_model, nhead, ffn_dim, moe=moe)
+                       for k in ks]}
 
 
 def _stack_layers(layers):
@@ -167,17 +197,17 @@ def _stack_layers(layers):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _layer_ctx(base, train: bool, li):
-    """Per-layer ctx for scanned stacks; `base` comes from ctx.next_rng()
-    so the fold domain is distinct from every other loop's."""
-    if base is None:
-        return nn.Ctx(rng=None, train=train)
-    return nn.Ctx(rng=jax.random.fold_in(base, li), train=train)
+def _layer_ctx(base, train: bool, li, collect: bool = False):
+    """Per-layer ctx for scanned/rematerialized stacks; `base` comes from
+    ctx.next_rng() so the fold domain is distinct from every other loop's.
+    collect=True gives the inner ctx its own aux list (see _take_aux)."""
+    rng = None if base is None else jax.random.fold_in(base, li)
+    return nn.Ctx(rng=rng, train=train, aux_losses=[] if collect else None)
 
 
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
             impl: str = "xla", scan_layers: bool = False,
-            remat: bool = False):
+            remat: bool = False, moe_opts=(1, 1.25)):
     """x: [B, T, D], pad_mask: bool [B, T] True=PAD.
 
     scan_layers=True runs the stack as a lax.scan over stacked layer params:
@@ -191,24 +221,33 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
     chip (BENCHMARKS.md width sweep)."""
     bias = padding_bias(pad_mask)
     kv_lens = jnp.sum(~pad_mask, axis=1) if impl == "flash" else None
+    collect = ctx.aux_losses is not None and _has_moe(p)
     if not scan_layers:
         if remat:
             rng_base = ctx.next_rng() if ctx.rng is not None else None
 
             def one(lp, key, x, bias, kv_lens):
-                return encoder_layer(lp, nn.Ctx(rng=key, train=ctx.train),
-                                     x, bias, nhead, dropout_p,
-                                     impl=impl, kv_lens=kv_lens)
+                inner = nn.Ctx(rng=key, train=ctx.train,
+                               aux_losses=[] if collect else None)
+                y = encoder_layer(lp, inner, x, bias, nhead, dropout_p,
+                                  impl=impl, kv_lens=kv_lens,
+                                  pad_mask=pad_mask, moe_opts=moe_opts)
+                return y, _take_aux(inner)
 
             one = jax.checkpoint(one)
+            aux = jnp.float32(0.0)
             for li, lp in enumerate(p["layers"]):
                 key = (jax.random.fold_in(rng_base, li)
                        if rng_base is not None else None)
-                x = one(lp, key, x, bias, kv_lens)
+                x, a = one(lp, key, x, bias, kv_lens)
+                aux = aux + a
+            if collect:
+                ctx.aux_losses.append(aux)
             return x
         for lp in p["layers"]:
             x = encoder_layer(lp, ctx, x, bias, nhead, dropout_p,
-                              impl=impl, kv_lens=kv_lens)
+                              impl=impl, kv_lens=kv_lens,
+                              pad_mask=pad_mask, moe_opts=moe_opts)
         return x
 
     stacked = _stack_layers(p["layers"])
@@ -217,13 +256,17 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
 
     def body(x, xs):
         lp, li = xs
-        y = encoder_layer(lp, _layer_ctx(rng_base, ctx.train, li), x, bias,
-                          nhead, dropout_p, impl=impl, kv_lens=kv_lens)
-        return y, None
+        inner = _layer_ctx(rng_base, ctx.train, li, collect=collect)
+        y = encoder_layer(lp, inner, x, bias, nhead, dropout_p, impl=impl,
+                          kv_lens=kv_lens, pad_mask=pad_mask,
+                          moe_opts=moe_opts)
+        return y, _take_aux(inner)
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
+    x, aux = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
+    if collect:
+        ctx.aux_losses.append(jnp.sum(aux))
     return x
 
 
@@ -232,41 +275,50 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
 # ---------------------------------------------------------------------------
 
 
-def decoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int):
+def decoder_layer_init(key, d_model: int, nhead: int, ffn_dim: int,
+                       moe: int = 0):
     ks = jax.random.split(key, 4)
-    return {
+    p = {
         "self": mha_init(ks[0], d_model, nhead),
         "cross": mha_init(ks[1], d_model, nhead),
-        "lin1": nn.linear_init(ks[2], d_model, ffn_dim, torch_default=True),
-        "lin2": nn.linear_init(ks[3], ffn_dim, d_model, torch_default=True),
         "ln1": nn.layernorm_init(d_model),
         "ln2": nn.layernorm_init(d_model),
         "ln3": nn.layernorm_init(d_model),
     }
+    if moe > 0:
+        from . import moe as MoE
+        p["moe"] = MoE.moe_init(ks[2], d_model, ffn_dim, moe)
+    else:
+        p["lin1"] = nn.linear_init(ks[2], d_model, ffn_dim, torch_default=True)
+        p["lin2"] = nn.linear_init(ks[3], ffn_dim, d_model, torch_default=True)
+    return p
 
 
 def decoder_layer(p, ctx: nn.Ctx, x, memory, self_bias, cross_bias,
                   nhead: int, dropout_p: float, impl: str = "xla",
-                  tgt_lens=None, mem_lens=None, cross_weights_out=None):
+                  tgt_lens=None, mem_lens=None, cross_weights_out=None,
+                  pad_mask=None, moe_opts=(1, 1.25)):
     a = mha(p["self"], ctx, x, x, self_bias, nhead, dropout_p,
             impl=impl, kv_lens=tgt_lens, causal=True)
     x = nn.layernorm(p["ln1"], x + nn.dropout(ctx, a, dropout_p))
     a = mha(p["cross"], ctx, x, memory, cross_bias, nhead, dropout_p,
             impl=impl, kv_lens=mem_lens, weights_out=cross_weights_out)
     x = nn.layernorm(p["ln2"], x + nn.dropout(ctx, a, dropout_p))
-    f = _ffn(p, ctx, x, dropout_p)
+    f = _ffn(p, ctx, x, dropout_p, pad_mask=pad_mask, moe_opts=moe_opts)
     return nn.layernorm(p["ln3"], x + nn.dropout(ctx, f, dropout_p))
 
 
-def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int):
+def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int,
+                 moe: int = 0):
     ks = jax.random.split(key, nlayers)
-    return {"layers": [decoder_layer_init(k, d_model, nhead, ffn_dim) for k in ks]}
+    return {"layers": [decoder_layer_init(k, d_model, nhead, ffn_dim, moe=moe)
+                       for k in ks]}
 
 
 def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
             nhead: int, dropout_p: float, impl: str = "xla",
             scan_layers: bool = False, cross_weights_out=None,
-            remat: bool = False):
+            remat: bool = False, moe_opts=(1, 1.25)):
     """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D].
     If `cross_weights_out` is a list, per-layer cross-attention probs
     [B, H, Tt, Ts] (f32) are appended — consumed by the guided-attention
@@ -280,29 +332,38 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
         tgt_lens = jnp.sum(~tgt_pad_mask, axis=1)
         mem_lens = jnp.sum(~mem_pad_mask, axis=1)
     remat = remat and cross_weights_out is None
+    collect = ctx.aux_losses is not None and _has_moe(p)
     if not scan_layers:
         if remat:
             rng_base = ctx.next_rng() if ctx.rng is not None else None
 
             def one(lp, key, x, memory, self_bias, cross_bias,
                     tgt_lens, mem_lens):
-                return decoder_layer(lp, nn.Ctx(rng=key, train=ctx.train),
-                                     x, memory, self_bias, cross_bias,
-                                     nhead, dropout_p, impl=impl,
-                                     tgt_lens=tgt_lens, mem_lens=mem_lens)
+                inner = nn.Ctx(rng=key, train=ctx.train,
+                               aux_losses=[] if collect else None)
+                y = decoder_layer(lp, inner, x, memory, self_bias,
+                                  cross_bias, nhead, dropout_p, impl=impl,
+                                  tgt_lens=tgt_lens, mem_lens=mem_lens,
+                                  pad_mask=tgt_pad_mask, moe_opts=moe_opts)
+                return y, _take_aux(inner)
 
             one = jax.checkpoint(one)
+            aux = jnp.float32(0.0)
             for li, lp in enumerate(p["layers"]):
                 key = (jax.random.fold_in(rng_base, li)
                        if rng_base is not None else None)
-                x = one(lp, key, x, memory, self_bias, cross_bias,
-                        tgt_lens, mem_lens)
+                x, a = one(lp, key, x, memory, self_bias, cross_bias,
+                           tgt_lens, mem_lens)
+                aux = aux + a
+            if collect:
+                ctx.aux_losses.append(aux)
             return x
         for lp in p["layers"]:
             x = decoder_layer(lp, ctx, x, memory, self_bias, cross_bias,
                               nhead, dropout_p, impl=impl,
                               tgt_lens=tgt_lens, mem_lens=mem_lens,
-                              cross_weights_out=cross_weights_out)
+                              cross_weights_out=cross_weights_out,
+                              pad_mask=tgt_pad_mask, moe_opts=moe_opts)
         return x
 
     stacked = _stack_layers(p["layers"])
@@ -312,17 +373,22 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
     def body(x, xs):
         lp, li = xs
         ws = [] if cross_weights_out is not None else None
-        y = decoder_layer(lp, _layer_ctx(rng_base, ctx.train, li), x, memory,
+        inner = _layer_ctx(rng_base, ctx.train, li, collect=collect)
+        y = decoder_layer(lp, inner, x, memory,
                           self_bias, cross_bias, nhead, dropout_p, impl=impl,
                           tgt_lens=tgt_lens, mem_lens=mem_lens,
-                          cross_weights_out=ws)
-        return y, (ws[0] if ws is not None else jnp.zeros((), x.dtype))
+                          cross_weights_out=ws,
+                          pad_mask=tgt_pad_mask, moe_opts=moe_opts)
+        return y, ((ws[0] if ws is not None else jnp.zeros((), x.dtype)),
+                   _take_aux(inner))
 
     if remat:
         body = jax.checkpoint(body)
-    x, ws = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
+    x, (ws, aux) = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     if cross_weights_out is not None:
         cross_weights_out.extend(ws)  # stacked [L, B, H, Tt, Ts] unbinds
+    if collect:
+        ctx.aux_losses.append(jnp.sum(aux))
     return x
 
 
@@ -355,7 +421,8 @@ def init_cache(p, memory, max_len: int, nhead: int) -> DecodeCache:
 
 
 def _decoder_step_layer(lp, ctx: nn.Ctx, x, pos, sk, sv, ck, cv, self_bias,
-                        mem_bias, nhead: int, dropout_p: float):
+                        mem_bias, nhead: int, dropout_p: float,
+                        moe_opts=(1, 1.25)):
     """One layer of one decode step. sk/sv: [B, max_len, H, Dh] self caches
     for THIS layer; ck/cv: precomputed cross K/V. Returns (x, sk, sv)."""
     q, k_t, v_t = (_split_heads(y, nhead) for y in _fused_proj(
@@ -372,13 +439,14 @@ def _decoder_step_layer(lp, ctx: nn.Ctx, x, pos, sk, sv, ck, cv, self_bias,
     a = nn.linear(lp["cross"]["out"], a.reshape(b_, t_, h_ * dh_))
     x = nn.layernorm(lp["ln2"], x + nn.dropout(ctx, a, dropout_p))
 
-    f = _ffn(lp, ctx, x, dropout_p)
+    f = _ffn(lp, ctx, x, dropout_p, moe_opts=moe_opts)
     x = nn.layernorm(lp["ln3"], x + nn.dropout(ctx, f, dropout_p))
     return x, sk, sv
 
 
 def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
-                 nhead: int, dropout_p: float, scan_layers: bool = False):
+                 nhead: int, dropout_p: float, scan_layers: bool = False,
+                 moe_opts=(1, 1.25)):
     """One decode step. x: [B, 1, D] at position `pos` (traced scalar).
     Attends over cache positions <= pos. Returns (y [B, 1, D], new_cache).
 
@@ -400,7 +468,8 @@ def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
             lp, sk, sv, ck, cv, li = xs
             x, sk, sv = _decoder_step_layer(
                 lp, _layer_ctx(rng_base, ctx.train, li), x, pos, sk, sv,
-                ck, cv, self_bias, mem_bias, nhead, dropout_p)
+                ck, cv, self_bias, mem_bias, nhead, dropout_p,
+                moe_opts=moe_opts)
             return x, (sk, sv)
 
         x, (new_sk, new_sv) = jax.lax.scan(
@@ -430,7 +499,7 @@ def decoder_step(p, ctx: nn.Ctx, x, pos, cache: DecodeCache, mem_bias,
         a = nn.linear(lp["cross"]["out"], a.reshape(b_, t_, h_ * dh_))
         x = nn.layernorm(lp["ln2"], x + nn.dropout(ctx, a, dropout_p))
 
-        f = _ffn(lp, ctx, x, dropout_p)
+        f = _ffn(lp, ctx, x, dropout_p, moe_opts=moe_opts)
         x = nn.layernorm(lp["ln3"], x + nn.dropout(ctx, f, dropout_p))
 
     new_cache = DecodeCache(self_k, self_v, cache.cross_k, cache.cross_v)

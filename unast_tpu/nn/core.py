@@ -22,11 +22,18 @@ import jax.numpy as jnp
 @dataclasses.dataclass
 class Ctx:
     """Per-forward context. `rng` is a single key; every stochastic op folds
-    in a fresh counter value, so one key drives the whole forward pass."""
+    in a fresh counter value, so one key drives the whole forward pass.
+
+    `aux_losses`: when set to a list by the caller (train/steps.py does so
+    for MoE configs), layers append auxiliary scalar losses (e.g. the MoE
+    load-balance term) during tracing; the objective sums them. None (the
+    default) disables collection — required inside lax loop bodies, where
+    an appended tracer would escape its trace."""
 
     rng: Optional[jax.Array] = None
     train: bool = False
     _counter: int = 0
+    aux_losses: Optional[list] = None
 
     def next_rng(self) -> jax.Array:
         if self.rng is None:

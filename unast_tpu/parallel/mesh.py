@@ -18,6 +18,10 @@ boundary, let XLA/GSPMD insert collectives over ICI.
     exchanges itself. Params stay replicated over 'sp'. The reference has
     no long-context machinery at all (SURVEY §5.7) — this is the additive
     TPU-native lever for sequences past one chip's HBM.
+  - ep axis (optional): expert parallelism — MoE expert-stacked FFN weights
+    [E, ...] (models/moe.py) are sharded over 'ep' on the leading expert
+    axis; the dispatch/combine einsums then induce the all-to-all-style
+    collectives under GSPMD. Dense params are replicated over 'ep'.
 
 The same path-based rule shards the optimizer moments because optax's
 ScaleByAdamState mirrors the param tree structure."""
@@ -30,17 +34,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """(dp, tp[, sp]) mesh. The 'sp' axis is only materialized when sp > 1
-    so existing two-axis meshes keep their exact shape."""
+def make_mesh(dp: int, tp: int = 1, sp: int = 1, ep: int = 1,
+              devices=None) -> Mesh:
+    """(dp, tp[, ep][, sp]) mesh. The 'ep' (expert-parallel, models/moe.py)
+    and 'sp' axes are only materialized when > 1 so existing two-axis meshes
+    keep their exact shape."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp * sp
+    n = dp * tp * ep * sp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dims = [("dp", dp), ("tp", tp)]
+    if ep > 1:
+        dims.append(("ep", ep))
     if sp > 1:
-        arr = np.asarray(devices[:n]).reshape(dp, tp, sp)
-        return Mesh(arr, ("dp", "tp", "sp"))
-    arr = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dims.append(("sp", sp))
+    arr = np.asarray(devices[:n]).reshape([d for _, d in dims])
+    return Mesh(arr, tuple(name for name, _ in dims))
 
 
 # Column-split (output dim over tp): attention q/k/v, FFN up-projection.
@@ -48,6 +56,10 @@ _COL_W = re.compile(r"(^|/)(q|k|v|lin1)/w$")
 _COL_B = re.compile(r"(^|/)(q|k|v|lin1)/b$")
 # Row-split (input dim over tp): attention out-proj, FFN down-projection.
 _ROW_W = re.compile(r"(^|/)(out|lin2)/w$")
+# Expert-stacked MoE FFN weights (models/moe.py): leading [E] axis over
+# 'ep'; within each expert, the same megatron column/row split over 'tp'.
+# The router stays replicated (tiny [D, E] matmul, every chip needs it).
+_MOE = re.compile(r"(^|/)moe/(lin1|lin2)/(w|b)$")
 
 
 def _path_str(path) -> str:
@@ -62,10 +74,19 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def _spec_for(path, leaf) -> P:
+def _spec_for(path, leaf, ep_axis: bool = False) -> P:
     if not hasattr(leaf, "ndim") or leaf.ndim < 1:
         return P()
     s = _path_str(path)
+    m = _MOE.search(s)
+    if m:
+        ep = "ep" if ep_axis else None
+        kind, wb = m.group(2), m.group(3)
+        if wb == "w" and leaf.ndim == 3:   # [E, D, F] up / [E, F, D] down
+            return P(ep, None, "tp") if kind == "lin1" else P(ep, "tp", None)
+        if wb == "b" and leaf.ndim == 2:   # [E, F] up-bias / [E, D] down-bias
+            return P(ep, "tp") if kind == "lin1" else P(ep, None)
+        return P()
     if leaf.ndim == 2:
         if _COL_W.search(s):
             return P(None, "tp")
@@ -79,8 +100,10 @@ def _spec_for(path, leaf) -> P:
 def train_state_shardings(mesh: Mesh, ts) -> Any:
     """NamedSharding pytree for a TrainState (params, BN state, optimizer
     moments all via the same path rule; scalars replicated)."""
+    ep_axis = "ep" in mesh.shape and mesh.shape["ep"] > 1
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), ts)
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for(path, leaf, ep_axis=ep_axis)), ts)
 
 
 def batch_shardings(mesh: Mesh, batches) -> Any:

@@ -141,6 +141,17 @@ def build_parser() -> argparse.ArgumentParser:
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
     add("--sp", type=int, default=1,
         help="sequence-parallel mesh size (time axis sharded over 'sp')")
+    add("--ep", type=int, default=1,
+        help="expert-parallel mesh size (MoE expert axis sharded over 'ep')")
+    add("--moe_experts", type=int, default=0,
+        help="replace the transformer FFN with a sparse MoE of this many "
+             "experts (0 = dense, reference parity)")
+    add("--moe_top_k", type=int, default=1,
+        help="experts per token (1 = Switch, 2 = GShard-style)")
+    add("--moe_capacity_factor", type=float, default=1.25,
+        help="per-expert token capacity multiplier")
+    add("--moe_aux_weight", type=float, default=0.01,
+        help="weight of the MoE load-balance aux loss (Switch alpha)")
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
@@ -196,4 +207,7 @@ def model_config_from_args(args):
         attn_impl=getattr(args, "attn_impl", "xla"),
         scan_layers=getattr(args, "scan_layers", False),
         remat=getattr(args, "remat", False),
+        moe_experts=getattr(args, "moe_experts", 0) or 0,
+        moe_top_k=getattr(args, "moe_top_k", 1) or 1,
+        moe_capacity_factor=getattr(args, "moe_capacity_factor", 1.25),
     )

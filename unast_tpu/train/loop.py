@@ -148,11 +148,12 @@ def train(args):
     step_fn = make_train_step(cfg, args)
     mesh = None
     sp = getattr(args, "sp", 1) or 1
-    if args.dp * args.tp * sp > 1:
+    ep = getattr(args, "ep", 1) or 1
+    if args.dp * args.tp * sp * ep > 1:
         from ..parallel import make_mesh, shard_train_step, batch_shardings
-        mesh = make_mesh(args.dp, args.tp, sp)
-        print(f"mesh: {dict(mesh.shape)} over {args.dp * args.tp * sp} "
-              "devices")
+        mesh = make_mesh(args.dp, args.tp, sp, ep)
+        print(f"mesh: {dict(mesh.shape)} over "
+              f"{args.dp * args.tp * sp * ep} devices")
         example = jax.tree_util.tree_map(
             jnp.asarray, batch_getter.step_batches(args, cfg.use_discriminator))
         train_step, ts = shard_train_step(step_fn, mesh, ts, example)

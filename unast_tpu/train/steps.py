@@ -100,13 +100,30 @@ def _gold(batch):
     return text, mel, text_len, mel_len, gold_stop
 
 
-def _obj_ctx(rng, args) -> nn.Ctx:
+def _obj_ctx(rng, args, cfg: ModelConfig = None) -> nn.Ctx:
     """Objective-forward context. Training uses train=True (dropout, DAE
     noise, SpecAugment, batch BN stats). tests/test_ref_parity.py sets
     args.objective_eval_mode=True to compare the exact objective composition
     against the reference implementation deterministically (both sides in
-    eval mode with augmentation disabled)."""
-    return nn.Ctx(rng=rng, train=not getattr(args, "objective_eval_mode", False))
+    eval mode with augmentation disabled).
+
+    For MoE configs (cfg.moe_experts > 0) the ctx collects per-layer
+    load-balance aux losses (models/moe.py); _moe_aux folds them into the
+    objective."""
+    collect = cfg is not None and cfg.moe_experts > 0
+    return nn.Ctx(rng=rng,
+                  train=not getattr(args, "objective_eval_mode", False),
+                  aux_losses=[] if collect else None)
+
+
+def _moe_aux(ctx: nn.Ctx, args, aux: dict):
+    """Weighted sum of the MoE load-balance losses collected on `ctx`
+    (Switch Transformer's alpha, default 0.01). Records the raw metric."""
+    if not ctx.aux_losses:
+        return 0.0
+    raw = sum(ctx.aux_losses)
+    aux["moe"] = raw
+    return float(getattr(args, "moe_aux_weight", 0.01) or 0.0) * raw
 
 
 def _ga_cfg(cfg: ModelConfig, args):
@@ -127,7 +144,7 @@ def _ga_loss(ws, q_len, k_len, sigma):
 def ae_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Denoising AE objective (src/train.py:199-229)."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
-    ctx = _obj_ctx(rng, args)
+    ctx = _obj_ctx(rng, args, cfg)
     ga_on, ga_w, ga_sigma = _ga_cfg(cfg, args)
     t_ws = [] if ga_on else None
     s_ws = [] if ga_on else None
@@ -156,15 +173,16 @@ def ae_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
         ga = ga_w * (_ga_loss(t_ws, text_len, text_len, ga_sigma)
                      + _ga_loss(s_ws, mel_len, mel_len, ga_sigma))
         aux["ga_ae"] = ga
+    moe = _moe_aux(ctx, args, aux)
     aux.update(t_ae=t_ae, s_ae=s_ae)
-    return (t_ae + s_ae + d_loss + ga) * scale, (aux, st)
+    return (t_ae + s_ae + d_loss + ga + moe) * scale, (aux, st)
 
 
 def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Supervised paired objective with SpecAugment on the ASR input only
     (src/train.py:231-259)."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
-    ctx = _obj_ctx(rng, args)
+    ctx = _obj_ctx(rng, args, cfg)
     ga_on, ga_w, ga_sigma = _ga_cfg(cfg, args)
     tts_ws = [] if ga_on else None
     asr_ws = [] if ga_on else None
@@ -199,15 +217,16 @@ def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
         ga = ga_w * (_ga_loss(tts_ws, mel_len, text_len, ga_sigma)
                      + _ga_loss(asr_ws, text_len, mel_len, ga_sigma))
         aux["ga_sp"] = ga
+    moe = _moe_aux(ctx, args, aux)
     aux.update(tts=tts_l, asr=asr_l)
-    return (tts_l + asr_l + d_loss + ga) * scale, (aux, st)
+    return (tts_l + asr_l + d_loss + ga + moe) * scale, (aux, st)
 
 
 def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     """Back-translation objective (src/train.py:261-294). The greedy
     pseudo-pair inference runs inside the jitted step with stop_gradient."""
     text, mel, text_len, mel_len, gold_stop = _gold(batch)
-    ctx = _obj_ctx(rng, args)
+    ctx = _obj_ctx(rng, args, cfg)
     infer_mel = getattr(args, "cm_infer_mel_len", None) or cfg.max_mel_len
     infer_text = getattr(args, "cm_infer_text_len", None) or cfg.max_text_len
     aux = {}
@@ -231,8 +250,9 @@ def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     s_cm = L.speech_loss(mel, gold_stop, pre, post, mel_len, stop,
                          args.s_eos_weight)
     t_cm = L.text_loss(text, logits, args.t_eos_weight)
+    moe = _moe_aux(ctx, args, aux)
     aux.update(s_cm=s_cm, t_cm=t_cm)
-    return (s_cm + t_cm + d_loss) * scale, (aux, st)
+    return (s_cm + t_cm + d_loss + moe) * scale, (aux, st)
 
 
 def disc_loss_fn(disc_params, gen_params, net_state, rng, batch,
