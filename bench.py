@@ -423,13 +423,80 @@ def bench_train_mfu(batch_sizes=(32, 128)):
     return best
 
 
+def bench_moe(batch_size=128, experts=4):
+    """MoE supervised train step at flagship scale vs the dense FFN:
+    step time + MFU for dense / grouped-dispatch / ragged (dropless)
+    paths. Iso-FLOPs per token at top-1 (each token still runs one
+    ffn_dim-wide expert), ~E x the FFN params — the interesting number is
+    the routing overhead each path pays on one chip."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.train.config import parse_with_config, model_config_from_args
+    from unast_tpu.train.steps import init_train_state, make_train_step
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+
+    peak = _peak_flops()
+    results = {}
+    for name, extra in (
+            ("dense", []),
+            ("dispatch", ["--moe_experts", str(experts),
+                          "--moe_impl", "dispatch"]),
+            ("ragged", ["--moe_experts", str(experts),
+                        "--moe_impl", "ragged"])):
+        args = parse_with_config([
+            "--train_batch_size", str(batch_size), "--data_mel_len", "256",
+            "--data_text_len", "128", "--max_mel_len", "256",
+            "--max_text_len", "128", "--ae_steps", "0", "--cm_steps", "0",
+            "--sp_steps", "1", "--d_steps", "0",
+            "--use_discriminator", "false",
+            "--compute_dtype", "bfloat16"] + extra)
+        cfg = model_config_from_args(args)
+        ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+        ds = SyntheticSpeechDataset(size=8, seed=0)
+        bg = BatchGetter(args, ds, ds, ds)
+        batches = {"sp": jax.tree_util.tree_map(
+            jnp.asarray, bg.step_batches(args, False))["sp"]}
+        step = jax.jit(make_train_step(cfg, args))
+        flops = None
+        try:
+            compiled = step.lower(ts, jax.random.PRNGKey(1), batches).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        ts, m = step(ts, jax.random.PRNGKey(1), batches)
+        float(m["grad_norm"])
+        dt = _time(lambda: float(
+            step(ts, jax.random.PRNGKey(2), batches)[1]["grad_norm"]),
+            iters=3, warmup=1)
+        results[name] = {"step_s": round(dt, 4),
+                         "frames_per_s": round(batch_size * 256 / dt, 1)}
+        if flops:
+            results[name]["mfu"] = round(flops / dt / peak, 4)
+        print(json.dumps({name: results[name]}), file=sys.stderr)
+    overhead = results["ragged"]["step_s"] / results["dense"]["step_s"]
+    return {"metric": "moe_step_overhead_vs_dense",
+            "value": round(overhead, 3),
+            "unit": f"x dense step time (E={experts} top-1 ragged, bs"
+                    f"{batch_size}; dispatch="
+                    f"{results['dispatch']['step_s']}s, ragged="
+                    f"{results['ragged']['step_s']}s, dense="
+                    f"{results['dense']['step_s']}s)",
+            "vs_baseline": round(1.0 / overhead, 3),
+            **{f"{k}_{kk}": vv for k, v in results.items()
+               for kk, vv in v.items()}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
-                             "vocoder"])
+                             "vocoder", "moe"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -441,7 +508,7 @@ def main():
           "tts": bench_tts_infer, "asr": bench_asr_infer,
           "train": bench_train_step, "attention": bench_attention,
           "mfu": bench_train_mfu, "serve": bench_serving,
-          "vocoder": bench_vocoder}[args.which]
+          "vocoder": bench_vocoder, "moe": bench_moe}[args.which]
     print(json.dumps(fn()))
 
 

@@ -46,15 +46,15 @@ def _batch(B=2, Tt=12, Tm=16, M=80, seed=0):
 # ---------------------------------------------------------------------------
 
 
-def test_moe_single_expert_matches_dense_ffn():
+@pytest.mark.parametrize("impl", ["dispatch", "ragged"])
+def test_moe_single_expert_matches_dense_ffn(impl):
     """E=1: softmax over one expert is 1.0, capacity >= N keeps every
     token, so the MoE layer must equal the dense FFN with expert-0
     weights exactly."""
     d, f = 8, 16
     p = MoE.moe_init(jax.random.PRNGKey(0), d, f, 1)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, d))
-    got = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0, top_k=1,
-                      capacity_factor=2.0)
+    got = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0, MoE.MoeOpts(1, 2.0, impl))
     lin1 = {"w": p["lin1"]["w"][0], "b": p["lin1"]["b"][0]}
     lin2 = {"w": p["lin2"]["w"][0], "b": p["lin2"]["b"][0]}
     want = nn.linear(lin2, jax.nn.relu(nn.linear(lin1, x)))
@@ -63,15 +63,16 @@ def test_moe_single_expert_matches_dense_ffn():
 
 
 @pytest.mark.parametrize("top_k", [1, 2])
-def test_moe_dispatch_matches_dense_combine(top_k):
+@pytest.mark.parametrize("impl", ["dispatch", "ragged"])
+def test_moe_dispatch_matches_dense_combine(top_k, impl):
     """With ample capacity the sparse dispatch path must agree with the
     exact dense-combine path (used for T==1 incremental decode) token by
     token — proving decode == train-layer semantics."""
     d, f, e = 8, 16, 4
     p = MoE.moe_init(jax.random.PRNGKey(0), d, f, e)
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, d))
-    got = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0, top_k=top_k,
-                      capacity_factor=float(e))  # cap >= N: nothing drops
+    got = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0,
+                      MoE.MoeOpts(top_k, float(e), impl))  # ample cap: no drops
     per_tok = MoE._moe_dense(p, _eval_ctx(), x.reshape(-1, 1, d), 0.0, top_k)
     want = per_tok.reshape(x.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -87,24 +88,112 @@ def test_moe_capacity_overflow_falls_through_to_zero():
     p["router"]["w"] = jnp.zeros_like(p["router"]["w"])
     n = 8
     x = jax.random.normal(jax.random.PRNGKey(1), (1, n, d))
-    out = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0, top_k=1,
-                      capacity_factor=1.0)  # cap = ceil(8/4) = 2
+    out = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0,
+                      MoE.MoeOpts(1, 1.0))  # cap = ceil(8/4) = 2
     nonzero = np.asarray(jnp.any(jnp.abs(out[0]) > 0, axis=-1))
     assert nonzero.sum() == 2, nonzero
     # the first two tokens in flat order hold the capacity slots
     assert nonzero[:2].all()
 
 
-def test_moe_pad_tokens_get_no_capacity_and_zero_output():
+@pytest.mark.parametrize("impl", ["dispatch", "ragged"])
+def test_moe_pad_tokens_get_no_capacity_and_zero_output(impl):
     d, f, e = 8, 16, 2
     p = MoE.moe_init(jax.random.PRNGKey(0), d, f, e)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, d))
     pad = jnp.array([[False, False, True, True],
                      [False, True, True, True]])
-    out = MoE.moe_ffn(p, _eval_ctx(), x, pad, 0.0, top_k=1,
-                      capacity_factor=float(e))
+    out = MoE.moe_ffn(p, _eval_ctx(), x, pad, 0.0, MoE.MoeOpts(1, float(e), impl))
     assert np.asarray(jnp.abs(out[pad]).max()) == 0.0
     assert np.asarray(jnp.abs(out[~pad]).max()) > 0.0
+
+
+def test_moe_grouped_dispatch_matches_single_group():
+    """Routing in G groups of S with per-group capacity C = ceil(S*cf/E)
+    must equal the single-group result when capacity is ample (no drops):
+    grouping only changes WHERE the capacity is accounted, not the math."""
+    d, f, e = 8, 16, 4
+    p = MoE.moe_init(jax.random.PRNGKey(0), d, f, e)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, d))  # N = 24
+    want = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0,
+                       MoE.MoeOpts(2, float(e), "dispatch", 0))   # S = 24
+    got = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0,
+                      MoE.MoeOpts(2, float(e), "dispatch", 6))    # G = 4
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_moe_grouped_capacity_is_per_group():
+    """Zero router weights send every token to expert 0. With group_size 4
+    and cf 1.0, capacity = ceil(4/4) = 1 PER GROUP, so exactly one token
+    per group survives — the first in each group."""
+    d, f, e = 8, 16, 4
+    p = MoE.moe_init(jax.random.PRNGKey(0), d, f, e)
+    p["router"]["w"] = jnp.zeros_like(p["router"]["w"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, d))
+    out = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0,
+                      MoE.MoeOpts(1, 1.0, "dispatch", 4))
+    nonzero = np.asarray(jnp.any(jnp.abs(out[0]) > 0, axis=-1))
+    assert nonzero.tolist() == [True, False, False, False,
+                                True, False, False, False]
+
+
+def test_moe_ragged_is_dropless():
+    """The ragged (sort + lax.ragged_dot) path must process EVERY valid
+    token even when the dispatch path's capacity would drop most of them
+    (collapsed router, cf 1.0)."""
+    d, f, e = 8, 16, 4
+    p = MoE.moe_init(jax.random.PRNGKey(0), d, f, e)
+    p["router"]["w"] = jnp.zeros_like(p["router"]["w"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, d))
+    out = MoE.moe_ffn(p, _eval_ctx(), x, None, 0.0,
+                      MoE.MoeOpts(1, 1.0, "ragged"))
+    nonzero = np.asarray(jnp.any(jnp.abs(out[0]) > 0, axis=-1))
+    assert nonzero.all()
+    # and token-exact vs the dense-combine oracle
+    want = MoE._moe_dense(p, _eval_ctx(), x.reshape(-1, 1, d), 0.0, 1)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want.reshape(x.shape)),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_ragged_grads_finite_with_pads(top_k):
+    """Regression: PAD assignments must stay inside a real ragged_dot
+    group (gate 0) — rows past sum(group_sizes) are undefined, and
+    undefined * 0 poisons the backward pass with NaNs."""
+    d, f, e = 8, 16, 4
+    p = MoE.moe_init(jax.random.PRNGKey(0), d, f, e)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, d))
+    pad = jnp.arange(6)[None, :] >= jnp.array([[6], [2]])
+
+    def loss(p, x):
+        y = MoE.moe_ffn(p, _eval_ctx(), x, pad, 0.0,
+                        MoE.MoeOpts(top_k, 1.25, "ragged"))
+        return jnp.sum(y ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+    for leaf in jax.tree_util.tree_leaves((gp, gx)):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_moe_ragged_train_step_gradients():
+    """The ragged path must be differentiable end-to-end (ragged_dot VJP):
+    one jitted train step updates expert AND router weights, metrics
+    finite."""
+    cfg = TINY.replace(moe_experts=2, moe_top_k=2, moe_impl="ragged")
+    args = _args()
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    w0 = ts.params["text_m"]["encoder"]["layers"][0]["moe"]
+    t, m, tl, ml = _batch()
+    batches = {"ae": (t[None], m[None], tl[None], ml[None])}
+    step = jax.jit(make_train_step(cfg, args))
+    ts2, metrics = step(ts, jax.random.PRNGKey(1), batches)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    w1 = ts2.params["text_m"]["encoder"]["layers"][0]["moe"]
+    assert float(jnp.abs(w1["lin1"]["w"] - w0["lin1"]["w"]).max()) > 0.0
+    assert float(jnp.abs(w1["router"]["w"] - w0["router"]["w"]).max()) > 0.0
 
 
 def test_moe_aux_loss_balanced_vs_collapsed():
@@ -118,7 +207,7 @@ def test_moe_aux_loss_balanced_vs_collapsed():
     # Collapse: huge bias toward expert 0 via the input direction.
     p["router"]["w"] = jnp.zeros((d, e)).at[:, 0].set(100.0)
     ctx = nn.Ctx(rng=None, train=False, aux_losses=[])
-    MoE.moe_ffn(p, ctx, jnp.abs(x), None, 0.0, top_k=1, capacity_factor=4.0)
+    MoE.moe_ffn(p, ctx, jnp.abs(x), None, 0.0, MoE.MoeOpts(1, 4.0))
     assert abs(float(ctx.aux_losses[0]) - e) < 1e-3
 
     # Balanced: rotate tokens through experts with a one-hot pattern.
@@ -126,7 +215,7 @@ def test_moe_aux_loss_balanced_vs_collapsed():
     xb = jnp.tile(xb, (n // e, 1))[None] * 100.0
     p["router"]["w"] = jnp.eye(d, e)
     ctx = nn.Ctx(rng=None, train=False, aux_losses=[])
-    MoE.moe_ffn(p, ctx, xb, None, 0.0, top_k=1, capacity_factor=4.0)
+    MoE.moe_ffn(p, ctx, xb, None, 0.0, MoE.MoeOpts(1, 4.0))
     assert abs(float(ctx.aux_losses[0]) - 1.0) < 1e-2
 
 

@@ -98,11 +98,22 @@ class ModelConfig:
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
+    # 'dispatch': GShard grouped one-hot dispatch/combine einsums —
+    #   capacity drops, composes with the 'ep' mesh axis under GSPMD.
+    # 'ragged': dropless sort + lax.ragged_dot grouped matmul — exact
+    #   (no drops), fastest on a single chip / pure-dp meshes.
+    moe_impl: str = "dispatch"
+    # Routing group size for 'dispatch' (tokens routed and capacity-capped
+    # per group, GShard-style, bounding the [G,S,E,C] one-hot tensors).
+    # 0 = auto: largest divisor of the token count <= 4096.
+    moe_group_size: int = 0
 
     @property
     def moe_opts(self):
-        """(top_k, capacity_factor) bundle threaded to transformer FFNs."""
-        return (self.moe_top_k, self.moe_capacity_factor)
+        """MoeOpts bundle threaded to transformer FFNs (jit-static)."""
+        from . import moe as MoE
+        return MoE.MoeOpts(self.moe_top_k, self.moe_capacity_factor,
+                           self.moe_impl, self.moe_group_size)
 
     @property
     def dtype(self):

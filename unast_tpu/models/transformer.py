@@ -156,7 +156,7 @@ def _ffn(p, ctx: nn.Ctx, x, dropout_p: float, pad_mask=None,
     if "moe" in p:
         from . import moe as MoE
         return MoE.moe_ffn(p["moe"], ctx, x, pad_mask, dropout_p,
-                           top_k=moe_opts[0], capacity_factor=moe_opts[1])
+                           opts=moe_opts)
     h = nn.dropout(ctx, jax.nn.relu(nn.linear(p["lin1"], x)), dropout_p)
     return nn.linear(p["lin2"], h)
 

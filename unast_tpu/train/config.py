@@ -152,6 +152,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-expert token capacity multiplier")
     add("--moe_aux_weight", type=float, default=0.01,
         help="weight of the MoE load-balance aux loss (Switch alpha)")
+    add("--moe_impl", type=str, default="dispatch",
+        choices=["dispatch", "ragged"],
+        help="MoE execution path: GShard grouped one-hot dispatch "
+             "(ep-shardable, capacity drops) or dropless sort+ragged_dot "
+             "(fastest single-chip/dp)")
+    add("--moe_group_size", type=int, default=0,
+        help="dispatch routing group size (0 = auto <= 4096)")
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
@@ -210,4 +217,6 @@ def model_config_from_args(args):
         moe_experts=getattr(args, "moe_experts", 0) or 0,
         moe_top_k=getattr(args, "moe_top_k", 1) or 1,
         moe_capacity_factor=getattr(args, "moe_capacity_factor", 1.25),
+        moe_impl=getattr(args, "moe_impl", "dispatch") or "dispatch",
+        moe_group_size=getattr(args, "moe_group_size", 0) or 0,
     )
