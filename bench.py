@@ -490,13 +490,68 @@ def bench_moe(batch_size=128, experts=4):
                for kk, vv in v.items()}}
 
 
+def bench_quant(b=1):
+    """Weight-streaming ladder for the KV-cached greedy TTS decode (the
+    latency-bound serving path): params stored f32 (4 B/weight from HBM
+    each of the ~815 steps) vs bf16 (2 B) vs int8 weight-only quantization
+    (1 B, nn/quant.py). Activations bf16 throughout. vs_baseline = f32
+    decode time / int8 decode time."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+        params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+    text = jnp.ones((b, 64), jnp.int32)
+    text_len = jnp.full((b,), 64, jnp.int32)
+
+    def infer_fn():
+        @jax.jit
+        def infer(params, state, text, text_len):
+            out, _ = U.tts(params, state, nn.Ctx.eval(), cfg, text,
+                           text_len, None, None, infer=True)
+            return out[1], out[3]
+        return infer
+
+    variants = {
+        "f32": params,
+        "bf16": jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params),
+        "int8": nn.quant.quantize_params(params),
+    }
+    audio_s = cfg.max_mel_len * P.hop_length / P.sr
+    times = {}
+    for name, pv in variants.items():
+        fn = infer_fn()
+        dt = _time(lambda: float(fn(pv, state, text, text_len)[0][0, 0, 0]),
+                   iters=3, warmup=2)
+        times[name] = dt
+        print(json.dumps({name: {"decode_s": round(dt, 4),
+                                 "rtf": round(dt / audio_s, 5)}}),
+              file=sys.stderr)
+    return {"metric": "tts_decode_int8_speedup_vs_f32",
+            "value": round(times["f32"] / times["int8"], 3),
+            "unit": f"x (batch {b}, 815-step decode: f32 "
+                    f"{times['f32']:.3f}s, bf16 {times['bf16']:.3f}s, "
+                    f"int8 {times['int8']:.3f}s; int8 RTF "
+                    f"{times['int8'] / audio_s:.4f})",
+            "vs_baseline": round(times["f32"] / times["int8"], 3),
+            **{f"{k}_s": round(v, 4) for k, v in times.items()}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
-                             "vocoder", "moe"])
+                             "vocoder", "moe", "quant"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -508,7 +563,8 @@ def main():
           "tts": bench_tts_infer, "asr": bench_asr_infer,
           "train": bench_train_step, "attention": bench_attention,
           "mfu": bench_train_mfu, "serve": bench_serving,
-          "vocoder": bench_vocoder, "moe": bench_moe}[args.which]
+          "vocoder": bench_vocoder, "moe": bench_moe,
+          "quant": bench_quant}[args.which]
     print(json.dumps(fn()))
 
 

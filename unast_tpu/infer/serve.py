@@ -34,7 +34,7 @@ class Synthesizer:
                  vocoder_pv=None, audio_params=AUDIO_DEFAULT,
                  text_buckets: Sequence[int] = (32, 64, 128, 304),
                  mel_buckets: Sequence[int] = (256, 512, 816),
-                 max_batch: int = 8, mesh=None):
+                 max_batch: int = 8, mesh=None, quantize: str = None):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
         Synthesizer then serves batches sharded across all chips (params
         replicated, request batch split over 'dp'; XLA runs each shard's
@@ -42,6 +42,14 @@ class Synthesizer:
         be divisible by the dp size; short chunks are padded by replicating
         the last request."""
         self.cfg = cfg
+        if quantize is not None:
+            # int8 weight-only quantization (nn/quant.py): halves the
+            # per-decode-step weight HBM traffic on this latency-bound path.
+            assert quantize == "int8", quantize
+            params = nn.quant.quantize_params(params)
+            if vocoder_pv is not None:
+                vocoder_pv = (nn.quant.quantize_params(vocoder_pv[0]),
+                              vocoder_pv[1])
         self.vocoder_pv = vocoder_pv
         self.audio_params = audio_params
         # clamp (not drop) buckets above the model caps, so long requests

@@ -189,7 +189,7 @@ def text_prenet_step(p, s, ctx: nn.Ctx, emb_t, bufs, cfg: ModelConfig):
         return jnp.concatenate([buf[:, 1:], v[:, None]], axis=1)
 
     def conv_pos(cp, buf):
-        y = jnp.einsum("bkc,kcd->bd", buf, cp["w"].astype(buf.dtype))
+        y = jnp.einsum("bkc,kcd->bd", buf, nn.weight(cp, buf.dtype))
         if "b" in cp:
             y = y + cp["b"].astype(buf.dtype)
         return y

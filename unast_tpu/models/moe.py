@@ -72,20 +72,20 @@ def moe_init(key, d_model: int, ffn_dim: int, n_experts: int):
 
 def _router_probs(p, x):
     """x: [..., D] -> f32 probs [..., E]."""
-    logits = jnp.dot(x, p["router"]["w"].astype(x.dtype))
+    logits = jnp.dot(x, nn.weight(p["router"], x.dtype))
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def _expert_ffn(p, ctx: nn.Ctx, h, dropout_p: float):
     """h: [..., E, C, D] dispatched tokens -> same shape. Mirrors the dense
     transformer _ffn (relu + dropout between the two projections)."""
-    w1 = p["lin1"]["w"].astype(h.dtype)
+    w1 = nn.weight(p["lin1"], h.dtype)
     b1 = p["lin1"]["b"].astype(h.dtype)
     y = jax.nn.relu(jnp.einsum("...ecd,edf->...ecf", h, w1,
                                preferred_element_type=jnp.float32
                                ).astype(h.dtype) + b1[..., None, :])
     y = nn.dropout(ctx, y, dropout_p)
-    w2 = p["lin2"]["w"].astype(h.dtype)
+    w2 = nn.weight(p["lin2"], h.dtype)
     b2 = p["lin2"]["b"].astype(h.dtype)
     return jnp.einsum("...ecf,efd->...ecd", y, w2,
                       preferred_element_type=jnp.float32
@@ -223,12 +223,12 @@ def _moe_ragged(p, ctx: nn.Ctx, xf, probs, valid, dropout_p: float,
     group_sizes = jnp.bincount(flat_e, length=e)       # sums to N*K
     bias_e = flat_e[order]
     h = jax.nn.relu(
-        jax.lax.ragged_dot(xs, p["lin1"]["w"].astype(xs.dtype), group_sizes,
+        jax.lax.ragged_dot(xs, nn.weight(p["lin1"], xs.dtype), group_sizes,
                            preferred_element_type=jnp.float32
                            ).astype(xs.dtype)
         + jnp.take(p["lin1"]["b"].astype(xs.dtype), bias_e, axis=0))
     h = nn.dropout(ctx, h, dropout_p)
-    y = (jax.lax.ragged_dot(h, p["lin2"]["w"].astype(h.dtype), group_sizes,
+    y = (jax.lax.ragged_dot(h, nn.weight(p["lin2"], h.dtype), group_sizes,
                             preferred_element_type=jnp.float32
                             ).astype(h.dtype)
          + jnp.take(p["lin2"]["b"].astype(h.dtype), bias_e, axis=0))
@@ -250,11 +250,11 @@ def _moe_dense(p, ctx: nn.Ctx, x, dropout_p: float, top_k: int):
         vals = vals / (jnp.sum(vals, axis=-1, keepdims=True) + 1e-9)
     gates = jnp.sum(jax.nn.one_hot(idx, e, dtype=jnp.float32)
                     * vals[..., None], axis=-2)       # [B, T, E]
-    w1 = p["lin1"]["w"].astype(x.dtype)
+    w1 = nn.weight(p["lin1"], x.dtype)
     b1 = p["lin1"]["b"].astype(x.dtype)
     h = jax.nn.relu(jnp.einsum("btd,edf->btef", x, w1) + b1[None, None])
     h = nn.dropout(ctx, h, dropout_p)
-    w2 = p["lin2"]["w"].astype(x.dtype)
+    w2 = nn.weight(p["lin2"], x.dtype)
     b2 = p["lin2"]["b"].astype(x.dtype)
     y = jnp.einsum("btef,efd->bted", h, w2) + b2[None, None]
     return jnp.einsum("bte,bted->btd", gates.astype(x.dtype), y)

@@ -60,9 +60,9 @@ def _fused_proj(ps, x):
     the separate projections are bandwidth-bound — x is re-read from HBM
     per projection — so fusing q/k/v into a [D, 3D] matmul reads the
     activation once and fills the MXU wider."""
-    w = jnp.concatenate([p["w"] for p in ps], axis=1)
+    w = jnp.concatenate([nn.weight(p, x.dtype) for p in ps], axis=1)
     b = jnp.concatenate([p["b"] for p in ps])
-    y = jnp.dot(x, w.astype(x.dtype)) + b.astype(x.dtype)
+    y = jnp.dot(x, w) + b.astype(x.dtype)
     return jnp.split(y, len(ps), axis=-1)  # all projections are [D, D]
 
 

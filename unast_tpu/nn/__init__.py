@@ -16,8 +16,10 @@ dynamics): reference `src/module.py:18-73` (Xavier-uniform Linear/Conv with
 activation gains), torch defaults elsewhere.
 """
 
+from . import quant
 from .core import (
     Ctx,
+    weight,
     calculate_gain,
     xavier_uniform,
     torch_linear_uniform,
@@ -40,6 +42,8 @@ from .core import (
 
 __all__ = [
     "Ctx",
+    "weight",
+    "quant",
     "calculate_gain",
     "xavier_uniform",
     "torch_linear_uniform",

@@ -105,8 +105,20 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True,
     return p
 
 
+def weight(p, dtype, name: str = "w"):
+    """Weight view in `dtype`, transparently dequantizing int8 weight-only
+    quantization (nn.quant.quantize_params stores {name}_q int8 +
+    {name}_scale per-output-channel instead of {name}). The int8 tensor is
+    what streams from HBM; the convert+scale fuses into the consuming
+    matmul — the point is halved weight bandwidth on the decode path."""
+    q = p.get(name + "_q")
+    if q is None:
+        return p[name].astype(dtype)
+    return q.astype(dtype) * p[name + "_scale"].astype(dtype)
+
+
 def linear(p, x):
-    y = jnp.dot(x, p["w"].astype(x.dtype))
+    y = jnp.dot(x, weight(p, x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -144,7 +156,7 @@ def conv1d(p, x, padding):
     # Same-dtype in/out keeps the VJP transpose rule happy under bf16; the
     # MXU still accumulates partial products in f32 internally.
     y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), window_strides=(1,), padding=[padding],
+        x, weight(p, x.dtype), window_strides=(1,), padding=[padding],
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
     if "b" in p:
@@ -165,6 +177,9 @@ def embedding_init(key, vocab: int, dim: int, padding_idx: Optional[int] = None)
 
 
 def embedding(p, ids):
+    q = p.get("w_q")
+    if q is not None:  # take int8 rows, then scale (less HBM read)
+        return jnp.take(q, ids, axis=0).astype(jnp.float32) * p["w_scale"]
     return jnp.take(p["w"], ids, axis=0)
 
 
@@ -254,8 +269,8 @@ def lstm_cell_init(key, d_in: int, hidden: int):
 
 def lstm_cell(p, x, h, c):
     """One step. x: [B, Din]; h, c: [B, H]. Returns (h', c')."""
-    gates = (jnp.dot(x, p["wi"].astype(x.dtype)) +
-             jnp.dot(h, p["wh"].astype(x.dtype)) +
+    gates = (jnp.dot(x, weight(p, x.dtype, "wi")) +
+             jnp.dot(h, weight(p, x.dtype, "wh")) +
              (p["bi"] + p["bh"]).astype(x.dtype))
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -279,8 +294,8 @@ def gru_cell_init(key, d_in: int, hidden: int):
 
 def gru_cell(p, x, h):
     """torch GRU semantics: n = tanh(W_in x + b_in + r * (W_hn h + b_hn))."""
-    gi = jnp.dot(x, p["wi"].astype(x.dtype)) + p["bi"].astype(x.dtype)
-    gh = jnp.dot(h, p["wh"].astype(x.dtype)) + p["bh"].astype(x.dtype)
+    gi = jnp.dot(x, weight(p, x.dtype, "wi")) + p["bi"].astype(x.dtype)
+    gh = jnp.dot(h, weight(p, x.dtype, "wh")) + p["bh"].astype(x.dtype)
     ir, iz, in_ = jnp.split(gi, 3, axis=-1)
     hr, hz, hn = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(ir + hr)
