@@ -494,8 +494,11 @@ def bench_quant(b=1):
     """Weight-streaming ladder for the KV-cached greedy TTS decode (the
     latency-bound serving path): params stored f32 (4 B/weight from HBM
     each of the ~815 steps) vs bf16 (2 B) vs int8 weight-only quantization
-    (1 B, nn/quant.py). Activations bf16 throughout. vs_baseline = f32
-    decode time / int8 decode time."""
+    (1 B, nn/quant.py). Activations bf16 throughout. Measured at the
+    flagship d=256 scale (per-step matmuls are latency-bound there, so
+    quantization is a footprint not a speed lever) AND at d=1024/6L where
+    the per-step weight read dominates. vs_baseline = f32/int8 at the
+    wide scale."""
     import jax
     import jax.numpy as jnp
     from unast_tpu import nn
@@ -503,46 +506,101 @@ def bench_quant(b=1):
     from unast_tpu.models.config import ModelConfig
     from unast_tpu.audio.params import DEFAULT as P
 
-    cfg = ModelConfig(compute_dtype="bfloat16")
-    params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
-    params["speech_m"]["postnet"]["stop_proj"]["b"] = (
-        params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
-    text = jnp.ones((b, 64), jnp.int32)
-    text_len = jnp.full((b,), 64, jnp.int32)
+    out = {}
+    for label, widths in (
+            ("d256", {}),
+            ("d1024", dict(hidden=1024, e_in=1024, t_emb_dim=1024,
+                           s_pre_hid=1024, ffn_dim=4096, num_layers=6,
+                           nhead=8))):
+        cfg = ModelConfig(compute_dtype="bfloat16", **widths)
+        params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+        params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+            params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+        text = jnp.ones((b, 64), jnp.int32)
+        text_len = jnp.full((b,), 64, jnp.int32)
 
-    def infer_fn():
+        def infer_fn(cfg):
+            @jax.jit
+            def infer(params, state, text, text_len):
+                o, _ = U.tts(params, state, nn.Ctx.eval(), cfg, text,
+                             text_len, None, None, infer=True)
+                return o[1], o[3]
+            return infer
+
+        variants = {
+            "f32": params,
+            "bf16": jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params),
+            "int8": nn.quant.quantize_params(params),
+        }
+        audio_s = cfg.max_mel_len * P.hop_length / P.sr
+        times = {}
+        for name, pv in variants.items():
+            fn = infer_fn(cfg)
+            dt = _time(lambda: float(
+                fn(pv, state, text, text_len)[0][0, 0, 0]),
+                iters=3, warmup=2)
+            times[name] = dt
+            print(json.dumps({f"{label}/{name}": {
+                "decode_s": round(dt, 4),
+                "rtf": round(dt / audio_s, 5)}}), file=sys.stderr)
+        out[label] = times
+    t = out["d1024"]
+    return {"metric": "tts_decode_int8_speedup_vs_f32",
+            "value": round(t["f32"] / t["int8"], 3),
+            "unit": f"x at d=1024/6L (batch {b}, 815-step decode: f32 "
+                    f"{t['f32']:.3f}s, bf16 {t['bf16']:.3f}s, int8 "
+                    f"{t['int8']:.3f}s; d256 f32 "
+                    f"{out['d256']['f32']:.3f}s -> int8 "
+                    f"{out['d256']['int8']:.3f}s)",
+            "vs_baseline": round(t["f32"] / t["int8"], 3),
+            **{f"{lk}_{k}_s": round(v, 4) for lk, tt in out.items()
+               for k, v in tt.items()}}
+
+
+def bench_reduction(b=1, rs=(1, 2, 4)):
+    """Decode-step reduction ladder: full-cap greedy TTS decode at
+    reduction_factor r in {1, 2, 4} (r frames per autoregressive step ->
+    ~r-fold fewer latency-bound while_loop iterations). vs_baseline =
+    r=1 time / r=4 time."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    times = {}
+    for r in rs:
+        cfg = ModelConfig(compute_dtype="bfloat16", reduction_factor=r)
+        params, state = U.unast_init(jax.random.PRNGKey(0), cfg)
+        params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+            params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+        text = jnp.ones((b, 64), jnp.int32)
+        text_len = jnp.full((b,), 64, jnp.int32)
+
         @jax.jit
         def infer(params, state, text, text_len):
-            out, _ = U.tts(params, state, nn.Ctx.eval(), cfg, text,
-                           text_len, None, None, infer=True)
-            return out[1], out[3]
-        return infer
+            o, _ = U.tts(params, state, nn.Ctx.eval(), cfg, text,
+                         text_len, None, None, infer=True)
+            return o[1], o[3]
 
-    variants = {
-        "f32": params,
-        "bf16": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, params),
-        "int8": nn.quant.quantize_params(params),
-    }
-    audio_s = cfg.max_mel_len * P.hop_length / P.sr
-    times = {}
-    for name, pv in variants.items():
-        fn = infer_fn()
-        dt = _time(lambda: float(fn(pv, state, text, text_len)[0][0, 0, 0]),
+        dt = _time(lambda: float(infer(params, state, text,
+                                       text_len)[0][0, 0, 0]),
                    iters=3, warmup=2)
-        times[name] = dt
-        print(json.dumps({name: {"decode_s": round(dt, 4),
-                                 "rtf": round(dt / audio_s, 5)}}),
+        times[r] = dt
+        audio_s = cfg.max_mel_len * P.hop_length / P.sr
+        print(json.dumps({f"r{r}": {"decode_s": round(dt, 4),
+                                    "rtf": round(dt / audio_s, 5)}}),
               file=sys.stderr)
-    return {"metric": "tts_decode_int8_speedup_vs_f32",
-            "value": round(times["f32"] / times["int8"], 3),
-            "unit": f"x (batch {b}, 815-step decode: f32 "
-                    f"{times['f32']:.3f}s, bf16 {times['bf16']:.3f}s, "
-                    f"int8 {times['int8']:.3f}s; int8 RTF "
-                    f"{times['int8'] / audio_s:.4f})",
-            "vs_baseline": round(times["f32"] / times["int8"], 3),
-            **{f"{k}_s": round(v, 4) for k, v in times.items()}}
+    r_hi = max(rs)
+    return {"metric": "tts_decode_reduction_speedup",
+            "value": round(times[1] / times[r_hi], 3),
+            "unit": f"x (r={r_hi} vs r=1, batch {b}, full-cap decode: " +
+                    ", ".join(f"r{r}={times[r]:.3f}s" for r in rs) + ")",
+            "vs_baseline": round(times[1] / times[r_hi], 3),
+            **{f"r{r}_s": round(t, 4) for r, t in times.items()}}
 
 
 def main():
@@ -551,7 +609,7 @@ def main():
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
-                             "vocoder", "moe", "quant"])
+                             "vocoder", "moe", "quant", "reduction"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -564,7 +622,7 @@ def main():
           "train": bench_train_step, "attention": bench_attention,
           "mfu": bench_train_mfu, "serve": bench_serving,
           "vocoder": bench_vocoder, "moe": bench_moe,
-          "quant": bench_quant}[args.which]
+          "quant": bench_quant, "reduction": bench_reduction}[args.which]
     print(json.dumps(fn()))
 
 

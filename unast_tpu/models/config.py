@@ -95,6 +95,15 @@ class ModelConfig:
     # many experts; expert-stacked weights shard over the mesh's 'ep' axis
     # (parallel/mesh.py). 0 = dense (reference parity). Pure TPU-native
     # capability add — the reference has no MoE (SURVEY §2.3).
+    # Decoder reduction factor (Tacotron-lineage): the speech transformer
+    # decoder emits r mel frames per autoregressive step, cutting the
+    # sequential decode length r-fold — the dominant cost of both serving
+    # TTS and the in-graph back-translation decode (each while_loop step
+    # is latency-bound on TPU, so fewer steps ~ r x faster). 1 = exact
+    # reference behavior (one frame per step, src/network.py:229-276).
+    # Transformer speech decoder only; requires data_mel_len % r == 0.
+    reduction_factor: int = 1
+
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25

@@ -104,9 +104,13 @@ def speech_postnet_init(key, cfg: ModelConfig):
         "convs": [nn.conv1d_init(ks[1 + i], cfg.hidden, cfg.hidden, 5, w_init="tanh")
                   for i in range(3)],
         "conv2": nn.conv1d_init(ks[4], cfg.hidden, cfg.num_mels, 5),
-        "mel_proj": nn.linear_init(ks[5], cfg.hidden, cfg.num_mels,
-                                   torch_default=True),
-        "stop_proj": nn.linear_init(ks[6], cfg.hidden, 1, torch_default=True),
+        # reduction_factor r (transformer decoder): the heads emit r
+        # frames / r stop logits per decoder step; r=1 == reference shapes.
+        "mel_proj": nn.linear_init(
+            ks[5], cfg.hidden, cfg.reduction_factor * cfg.num_mels,
+            torch_default=True),
+        "stop_proj": nn.linear_init(ks[6], cfg.hidden, cfg.reduction_factor,
+                                    torch_default=True),
     }
     bn_p, bn_s = {}, {}
     for i in range(4):
@@ -132,7 +136,9 @@ def speech_postnet(p, s, ctx: nn.Ctx, x, cfg: ModelConfig):
 
 
 def speech_mel_and_stop(p, dec_out):
-    """Decoder hidden -> (mel frame, stop logit)."""
+    """Decoder hidden [B, Tg, H] -> (mel [B, Tg, r*num_mels], stop logits
+    [B, Tg, r]); r = ModelConfig.reduction_factor (1 in the reference).
+    Callers ungroup to per-frame shapes with reshape."""
     return nn.linear(p["mel_proj"], dec_out), nn.linear(p["stop_proj"], dec_out)
 
 

@@ -278,11 +278,21 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
 def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
                               memory, mem_pad_mask, cross_weights_out=None):
     """Teacher-forced decode with zero-frame "go" shift (src/network.py:261).
-    Returns ((pre [B,T,80], post, stop [B,T], tgt_lens), new_state)."""
-    b = tgt.shape[0]
+    Returns ((pre [B,T,80], post, stop [B,T], tgt_lens), new_state).
+
+    reduction_factor r > 1 (Tacotron-lineage; transformer-only): the
+    decoder runs over T/r frame GROUPS — step g's input is the LAST frame
+    of group g-1 (go-frame for g=0), the heads emit r frames + r stop
+    logits per group, ungrouped back to per-frame [B, T, ...] so losses
+    and the postnet are r-agnostic. r=1 reduces to the reference exactly
+    (the slice tgt[:, r-1 : T-1 : r] is tgt[:, :-1])."""
+    b, t = tgt.shape[:2]
+    r = cfg.reduction_factor
+    assert t % r == 0, f"mel length {t} not divisible by reduction {r}"
     go = jnp.zeros((b, 1, cfg.num_mels), tgt.dtype)
-    tgt_in = jnp.concatenate([go, tgt[:, :-1]], axis=1)
-    tgt_pad_mask = ~M.lens_to_mask(tgt_lens, tgt.shape[1])
+    tgt_in = jnp.concatenate([go, tgt[:, r - 1:t - 1:r]], axis=1)
+    group_lens = -(-tgt_lens // r) if r > 1 else tgt_lens
+    tgt_pad_mask = ~M.lens_to_mask(group_lens, t // r)
     x = M.speech_prenet(p["prenet"], ctx, tgt_in, cfg)
     x = M.positional_encoding(ctx, x)
     h = T.decoder(p["decoder"], ctx, x, memory, tgt_pad_mask, mem_pad_mask,
@@ -291,8 +301,9 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
                   cross_weights_out=cross_weights_out,
                   moe_opts=cfg.moe_opts)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
+    pre = pre.reshape(b, t, cfg.num_mels)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
-    return (pre, pre + resid, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
+    return (pre, pre + resid, stop.reshape(b, t), tgt_lens), {"postnet": postnet_s}
 
 
 def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
@@ -303,45 +314,53 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     the first frame is dropped (src/network.py:246-252)."""
     max_len = max_len or cfg.max_mel_len
     b = memory.shape[0]
-    cache = T.init_cache(p["decoder"], memory, max_len, cfg.nhead)
+    r = cfg.reduction_factor
+    n_groups = -(-max_len // r)           # decode runs ceil(max_len/r) steps
+    cap = n_groups * r                    # frame capacity (>= max_len)
+    cache = T.init_cache(p["decoder"], memory, n_groups, cfg.nhead)
     mem_bias = T.padding_bias(mem_pad_mask)
-    frames = jnp.zeros((b, max_len + 1, cfg.num_mels), memory.dtype)
-    stops = jnp.zeros((b, max_len), memory.dtype)
-    stop_lens = jnp.full((b,), max_len, jnp.int32)
+    frames = jnp.zeros((b, cap + 1, cfg.num_mels), memory.dtype)
+    stops = jnp.zeros((b, cap), memory.dtype)
+    stop_lens = jnp.full((b,), cap, jnp.int32)
     rng_base = _loop_base(ctx)
 
     def cond(c):
-        i, _, _, _, stop_lens = c
-        return jnp.logical_and(i < max_len, jnp.any(stop_lens == max_len))
+        g, _, _, _, stop_lens = c
+        return jnp.logical_and(g < n_groups, jnp.any(stop_lens == cap))
 
     def body(c):
-        i, frames, stops, cache, stop_lens = c
-        ctx_i = _fold_ctx(rng_base, ctx.train, i)
-        cur = jax.lax.dynamic_slice_in_dim(frames, i, 1, axis=1)
+        g, frames, stops, cache, stop_lens = c
+        ctx_i = _fold_ctx(rng_base, ctx.train, g)
+        # input: last frame of the previous group (go-frame for g=0)
+        cur = jax.lax.dynamic_slice_in_dim(frames, g * r, 1, axis=1)
         x = M.speech_prenet(p["prenet"], ctx_i, cur, cfg)
-        x = M.positional_encoding(ctx_i, x, offset=i)
-        h, cache = T.decoder_step(p["decoder"], ctx_i, x, i, cache, mem_bias,
+        x = M.positional_encoding(ctx_i, x, offset=g)
+        h, cache = T.decoder_step(p["decoder"], ctx_i, x, g, cache, mem_bias,
                                   cfg.nhead, cfg.d_drop,
                                   scan_layers=cfg.scan_layers,
                                   moe_opts=cfg.moe_opts)
         mel_t, stop_t = M.speech_mel_and_stop(p["postnet"], h)
-        frames = jax.lax.dynamic_update_slice_in_dim(frames, mel_t, i + 1, axis=1)
+        frames = jax.lax.dynamic_update_slice_in_dim(
+            frames, mel_t.reshape(b, r, cfg.num_mels), g * r + 1, axis=1)
         stops = jax.lax.dynamic_update_slice_in_dim(
-            stops, stop_t[:, :, 0], i, axis=1)
-        fired = jax.nn.sigmoid(stop_t[:, 0, 0]) >= cfg.stop_threshold
-        newly = jnp.logical_and(fired, stop_lens == max_len)
-        stop_lens = jnp.where(newly, i + 1, stop_lens)
-        return (i + 1, frames, stops, cache, stop_lens)
+            stops, stop_t.reshape(b, r), g * r, axis=1)
+        fired = jax.nn.sigmoid(stop_t[:, 0]) >= cfg.stop_threshold  # [B, r]
+        any_fired = jnp.any(fired, axis=-1)
+        first = jnp.argmax(fired, axis=-1)            # first stop in group
+        newly = jnp.logical_and(any_fired, stop_lens == cap)
+        stop_lens = jnp.where(newly, g * r + first + 1, stop_lens)
+        return (g + 1, frames, stops, cache, stop_lens)
 
     _, frames, stops, _, stop_lens = jax.lax.while_loop(
         cond, body, (jnp.int32(0), frames, stops, cache, stop_lens))
 
+    stop_lens = jnp.minimum(stop_lens, max_len)
     mask = M.lens_to_mask(stop_lens, max_len).astype(frames.dtype)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx,
                                         frames, cfg)
-    pre = frames[:, 1:] * mask[..., None]
-    post = (frames + resid)[:, 1:] * mask[..., None]
-    stops = stops * mask
+    pre = frames[:, 1:max_len + 1] * mask[..., None]
+    post = (frames + resid)[:, 1:max_len + 1] * mask[..., None]
+    stops = stops[:, :max_len] * mask
     return (pre, post, stops, stop_lens), {"postnet": postnet_s}
 
 
@@ -467,6 +486,9 @@ def text_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
 
 
 def speech_rnn_init(key, cfg: ModelConfig):
+    assert cfg.reduction_factor == 1, (
+        "reduction_factor > 1 is implemented for the transformer speech "
+        "decoder only (the RNN/LSA scan consumes one frame per step)")
     ks = jax.random.split(key, 4)
     postnet_p, postnet_s = M.speech_postnet_init(ks[3], cfg)
     params = {

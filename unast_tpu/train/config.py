@@ -159,6 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
              "(fastest single-chip/dp)")
     add("--moe_group_size", type=int, default=0,
         help="dispatch routing group size (0 = auto <= 4096)")
+    add("--reduction_factor", type=int, default=1,
+        help="speech-decoder mel frames per autoregressive step (r>1 = "
+             "r-fold fewer sequential decode steps; transformer only)")
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
@@ -219,4 +222,5 @@ def model_config_from_args(args):
         moe_capacity_factor=getattr(args, "moe_capacity_factor", 1.25),
         moe_impl=getattr(args, "moe_impl", "dispatch") or "dispatch",
         moe_group_size=getattr(args, "moe_group_size", 0) or 0,
+        reduction_factor=getattr(args, "reduction_factor", 1) or 1,
     )

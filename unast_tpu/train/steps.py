@@ -170,8 +170,10 @@ def ae_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
                          args.s_eos_weight)
     ga = 0.0
     if ga_on:
+        # speech-decoder queries are frame GROUPS under reduction_factor
+        s_q = -(-mel_len // cfg.reduction_factor)
         ga = ga_w * (_ga_loss(t_ws, text_len, text_len, ga_sigma)
-                     + _ga_loss(s_ws, mel_len, mel_len, ga_sigma))
+                     + _ga_loss(s_ws, s_q, mel_len, ga_sigma))
         aux["ga_ae"] = ga
     moe = _moe_aux(ctx, args, aux)
     aux.update(t_ae=t_ae, s_ae=s_ae)
@@ -214,7 +216,8 @@ def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     ga = 0.0
     if ga_on:
         # tts decode: queries=mel frames, keys=text memory; asr: the mirror
-        ga = ga_w * (_ga_loss(tts_ws, mel_len, text_len, ga_sigma)
+        s_q = -(-mel_len // cfg.reduction_factor)
+        ga = ga_w * (_ga_loss(tts_ws, s_q, text_len, ga_sigma)
                      + _ga_loss(asr_ws, text_len, mel_len, ga_sigma))
         aux["ga_sp"] = ga
     moe = _moe_aux(ctx, args, aux)
