@@ -205,3 +205,27 @@ def test_export_round_trip(model_type, tmp_path):
     got_p, got_s = import_state_dict(m.state_dict(), cfg)
     _assert_trees_equal(got_p, params)
     _assert_trees_equal(got_s, state)
+
+
+def test_export_rejects_tpu_only_extensions():
+    """Quantized / MoE / r>1 trees have no reference layout — export must
+    fail with a clear error instead of emitting a broken state_dict."""
+    import pytest
+    from unast_tpu import nn
+    from unast_tpu.compat.torch_export import export_state_dict
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import TINY
+
+    params, state = U.unast_init(jax.random.PRNGKey(0), TINY)
+    with pytest.raises(AssertionError, match="quantized"):
+        export_state_dict(nn.quant.quantize_params(params), state)
+
+    moe_p, moe_s = U.unast_init(jax.random.PRNGKey(0),
+                                TINY.replace(moe_experts=2))
+    with pytest.raises(AssertionError, match="MoE"):
+        export_state_dict(moe_p, moe_s)
+
+    r_p, r_s = U.unast_init(jax.random.PRNGKey(0),
+                            TINY.replace(reduction_factor=2))
+    with pytest.raises(AssertionError, match="reduction_factor"):
+        export_state_dict(r_p, r_s)

@@ -89,6 +89,26 @@ def _pos_emb(out, m, d):
 def export_state_dict(params, net_state):
     """(params, net_state) -> reference `model.state_dict()` dict."""
     out = _Out()
+    # TPU-native extensions with no reference counterpart cannot round-trip:
+    # int8-quantized trees (nn/quant.py), MoE FFNs (models/moe.py), and
+    # reduction_factor > 1 head shapes (stop head wider than 1).
+    def _scan(node):
+        if isinstance(node, dict):
+            assert not any(k.endswith("_q") for k in node), (
+                "cannot export an int8-quantized tree to the reference "
+                "format; export the original f32 checkpoint (quantization "
+                "is serve-time)")
+            assert "moe" not in node, (
+                "cannot export a MoE model: the reference is dense-only")
+            for v in node.values():
+                _scan(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                _scan(v)
+    _scan(params)
+    assert params["speech_m"]["postnet"]["stop_proj"]["w"].shape[-1] == 1, (
+        "cannot export reduction_factor > 1 heads: the reference decodes "
+        "one frame per step")
     is_tr = "layers" in params["text_m"]["encoder"] and \
         "attn" in params["text_m"]["encoder"]["layers"][0]
 
