@@ -100,6 +100,9 @@ def export_state_dict(params, net_state):
                 "is serve-time)")
             assert "moe" not in node, (
                 "cannot export a MoE model: the reference is dense-only")
+            assert "conv_dw" not in node, (
+                "cannot export a conformer speech encoder: the reference "
+                "has only transformer/RNN encoders")
             for v in node.values():
                 _scan(v)
         elif isinstance(node, (list, tuple)):

@@ -104,6 +104,13 @@ class ModelConfig:
     # Transformer speech decoder only; requires data_mel_len % r == 0.
     reduction_factor: int = 1
 
+    # Speech-encoder family: 'transformer' (reference parity,
+    # src/module.py:270-280) or 'conformer' (models/conformer.py — a
+    # model-family ADDITION; macaron FFN + MHSA + depthwise-conv blocks).
+    # Transformer backbone only.
+    speech_encoder: str = "transformer"
+    conformer_kernel: int = 15  # depthwise conv window (odd)
+
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25

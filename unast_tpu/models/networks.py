@@ -252,15 +252,26 @@ def text_tr_beam_search(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
 def speech_transformer_init(key, cfg: ModelConfig):
     ks = jax.random.split(key, 4)
     postnet_p, postnet_s = M.speech_postnet_init(ks[3], cfg)
+    state = {"postnet": postnet_s}
+    if cfg.speech_encoder == "conformer":
+        # Model-family addition (models/conformer.py): conv-augmented
+        # encoder blocks on the speech side; BN state threads explicitly.
+        from . import conformer as C
+        enc_p, enc_s = C.conformer_encoder_init(
+            ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim, cfg.num_layers,
+            cfg.conformer_kernel)
+        state["encoder"] = enc_s
+    else:
+        enc_p = T.encoder_init(ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                               cfg.num_layers, moe=cfg.moe_experts)
     params = {
         "prenet": M.speech_prenet_init(ks[0], cfg),
-        "encoder": T.encoder_init(ks[1], cfg.e_in, cfg.nhead, cfg.ffn_dim,
-                                  cfg.num_layers, moe=cfg.moe_experts),
+        "encoder": enc_p,
         "decoder": T.decoder_init(ks[2], cfg.e_in, cfg.nhead, cfg.ffn_dim,
                                   cfg.num_layers, moe=cfg.moe_experts),
         "postnet": postnet_p,
     }
-    return params, {"postnet": postnet_s}
+    return params, state
 
 
 def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
@@ -268,6 +279,13 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
     x = M.noise_fn(ctx, mel, cfg.noise_mask_p) if noise_in else mel
     x = M.speech_prenet(p["prenet"], ctx, x, cfg)
     x = M.positional_encoding(ctx, x)
+    if cfg.speech_encoder == "conformer":
+        from . import conformer as C
+        memory, enc_s = C.conformer_encoder(
+            p["encoder"], s["encoder"], ctx, x, pad_mask, cfg.nhead,
+            cfg.e_drop, cfg.conformer_kernel, impl=cfg.attn_impl,
+            scan_layers=cfg.scan_layers, remat=cfg.remat)
+        return (memory, pad_mask), dict(s, encoder=enc_s)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
                        scan_layers=cfg.scan_layers, remat=cfg.remat,
@@ -303,7 +321,7 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     pre = pre.reshape(b, t, cfg.num_mels)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)
-    return (pre, pre + resid, stop.reshape(b, t), tgt_lens), {"postnet": postnet_s}
+    return (pre, pre + resid, stop.reshape(b, t), tgt_lens), dict(s, postnet=postnet_s)
 
 
 def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
@@ -361,7 +379,7 @@ def speech_tr_infer(p, s, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     pre = frames[:, 1:max_len + 1] * mask[..., None]
     post = (frames + resid)[:, 1:max_len + 1] * mask[..., None]
     stops = stops[:, :max_len] * mask
-    return (pre, post, stops, stop_lens), {"postnet": postnet_s}
+    return (pre, post, stops, stop_lens), dict(s, postnet=postnet_s)
 
 
 # ===========================================================================
@@ -538,7 +556,7 @@ def speech_rnn_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
     buf = jnp.concatenate([jnp.zeros_like(pre[:, :1]), pre], axis=1)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, buf, cfg)
     post = (buf + resid)[:, 1:]
-    return (pre, post, jnp.squeeze(stop, -1), tgt_lens), {"postnet": postnet_s}
+    return (pre, post, jnp.squeeze(stop, -1), tgt_lens), dict(s, postnet=postnet_s)
 
 
 def speech_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
@@ -582,7 +600,7 @@ def speech_rnn_infer(p, s, ctx, cfg: ModelConfig, enc_outputs, enc_pad_mask,
     pre = frames[:, 1:] * mask[..., None]
     post = (frames + resid)[:, 1:] * mask[..., None]
     stops = stops * mask
-    return (pre, post, stops, stop_lens), {"postnet": postnet_s}
+    return (pre, post, stops, stop_lens), dict(s, postnet=postnet_s)
 
 
 # ===========================================================================
