@@ -457,3 +457,66 @@ def test_multihost_two_process_train():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"p{pid} failed:\n{out[-3000:]}"
         assert f"[p{pid}] DONE step=1" in out, out[-3000:]
+
+
+def test_async_checkpoint_roundtrip():
+    """save_ckp(async_save=True) returns after the host snapshot; a second
+    save drains the in-flight one, and load_ckp (which also drains)
+    restores the exact state (--async_ckpt path)."""
+    import __graft_entry__ as g
+    from unast_tpu.train.checkpoint import save_ckp, load_ckp, wait_for_saves
+    from unast_tpu.train.steps import init_train_state
+
+    targs, tcfg = g._tiny_cfg_args()
+    ts = init_train_state(jax.random.PRNGKey(3), tcfg, targs)
+    path = "/tmp/unast_tpu_test_ckpt_async"
+    shutil.rmtree(path, ignore_errors=True)
+    save_ckp(0, 1.5, ts, False, path, rng=jax.random.PRNGKey(9),
+             async_save=True)
+    save_ckp(1, 1.25, ts, True, path, rng=jax.random.PRNGKey(10),
+             async_save=True)
+    epoch, best, ts2, _ = load_ckp(
+        os.path.join(path, "model_most_recent.ckpt"), ts)
+    assert epoch == 2 and abs(best - 1.25) < 1e-9
+    a = jax.tree_util.tree_leaves(ts.params)[0]
+    b = jax.tree_util.tree_leaves(ts2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert os.path.exists(os.path.join(path, "model_best.ckpt"))
+    wait_for_saves()
+
+
+def test_params_ema_transform_math():
+    """params_ema holds EMA of POST-update params in the chain state."""
+    import optax
+    from unast_tpu.train.optim import find_ema, params_ema
+
+    tx = optax.chain(optax.sgd(0.1), params_ema(0.9))
+    params = {"w": jnp.ones((4,))}
+    st = tx.init(params)
+    np.testing.assert_allclose(np.asarray(find_ema(st)["w"]), 1.0)
+    up, st = tx.update({"w": jnp.ones((4,))}, st, params)
+    # new param = 1 - 0.1 = 0.9; ema = 0.9*1.0 + 0.1*0.9 = 0.99
+    np.testing.assert_allclose(np.asarray(find_ema(st)["w"]), 0.99,
+                               rtol=1e-6)
+
+
+def test_train_loop_ema():
+    """--ema_decay: the loop trains, and ema_params(ts) returns a full
+    param tree that differs from the live params but matches structure."""
+    from unast_tpu.train.loop import train
+    from unast_tpu.train.steps import ema_params
+    a = parse_with_config(CFG_ARGV + ["--ema_decay", "0.9"])
+    a.checkpoint_path = "/tmp/unast_tpu_test_ckpt_ema"
+    shutil.rmtree(a.checkpoint_path, ignore_errors=True)
+    ts, _ = train(a)
+    ep = ema_params(ts)
+    assert ep is not None
+    assert jax.tree_util.tree_structure(ep) == \
+        jax.tree_util.tree_structure(ts.params)
+    w_live = np.asarray(ts.params["text_m"]["postnet"]["fc"]["w"])
+    w_ema = np.asarray(ep["text_m"]["postnet"]["fc"]["w"])
+    assert not np.allclose(w_live, w_ema)
+    d_live = np.asarray(
+        jax.tree_util.tree_leaves(ts.params["discriminator"])[0])
+    d_ema = np.asarray(jax.tree_util.tree_leaves(ep["discriminator"])[0])
+    np.testing.assert_array_equal(d_live, d_ema)

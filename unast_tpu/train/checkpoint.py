@@ -27,29 +27,58 @@ def _roles(checkpoint_path: str, epoch: int, temporary: bool, epoch_save: bool):
     return [os.path.join(checkpoint_path, "model_most_recent.ckpt")]
 
 
+# Singleton async checkpointer: Orbax's StandardCheckpointer already
+# splits save() into a blocking device->host snapshot plus a background
+# disk write; reusing one instance across calls lets the write of epoch N
+# overlap epoch N+1's training (only one save may be in flight at a time,
+# so each call first drains the previous one).
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr() -> ocp.StandardCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves():
+    """Drain any in-flight async checkpoint write (call before exit and
+    before restoring from a path that might still be being written)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_ckp(epoch: int, valid_metric: float, ts: TrainState, is_best: bool,
              checkpoint_path: str, temporary_save: bool = False,
-             epoch_save: bool = False, rng=None):
+             epoch_save: bool = False, rng=None, async_save: bool = False):
+    """async_save=True returns as soon as the arrays are snapshotted to
+    host; the disk write proceeds in the background (--async_ckpt). The
+    device->host copy is synchronous either way, so donating `ts` to the
+    next train step is safe."""
     os.makedirs(checkpoint_path, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _async_ckptr() if async_save else ocp.StandardCheckpointer()
     meta = {"epoch": epoch + 1, "valid_loss_min": float(valid_metric),
             "rng": np.asarray(rng).tolist() if rng is not None else None}
     paths = _roles(checkpoint_path, epoch, temporary_save, epoch_save)
     if is_best and not temporary_save and not epoch_save:
         paths.append(os.path.join(checkpoint_path, "model_best.ckpt"))
-    for path in paths:
+    for i, path in enumerate(paths):
+        ckptr.wait_until_finished()  # drain any previous in-flight save
         if os.path.exists(path):
             shutil.rmtree(path)
         ckptr.save(os.path.abspath(path), ts)
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
-    ckptr.wait_until_finished()
+    if not async_save:
+        ckptr.wait_until_finished()
 
 
 def load_ckp(ckpt_fpath: str, template: TrainState
              ) -> Tuple[int, float, TrainState, Optional[np.ndarray]]:
     """Restore (epoch, best_metric, train_state, rng). `template` is a
     freshly-initialized TrainState supplying the pytree structure."""
+    wait_for_saves()  # the path may still be mid-write by an async save
     if not os.path.exists(ckpt_fpath):
         raise FileNotFoundError(f"no checkpoint at {ckpt_fpath}")
     ckptr = ocp.StandardCheckpointer()

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--lr_milestones", type=json.loads, default=[100, 200])
     add("--lr_gamma", type=float, default=0.5)
     add("--grad_clip", type=float, default=1.0)
+    add("--ema_decay", type=float, default=0.0,
+        help="exponential-moving-average decay over generator params "
+             "(0 = off, reference parity); when on, evaluation and "
+             "best-checkpoint selection use the EMA weights")
 
     # objective mix (src/train.py:597-638)
     add("--ae_steps", type=int, default=4)
@@ -68,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--t_post_drop", type=float, default=0.1)
     add("--e_drop", type=float, default=0.1)
     add("--d_drop", type=float, default=0.1)
+    add("--speech_encoder", type=str, default="transformer",
+        choices=["transformer", "conformer"],
+        help="speech-side encoder family (conformer = conv-augmented "
+             "blocks, models/conformer.py; transformer backbone only)")
+    add("--conformer_kernel", type=int, default=15,
+        help="conformer depthwise-conv window (odd)")
     add("--e_bi", type=lambda s: s.lower() != "false", default=True)
     add("--d_attn", type=str, default="lsa", choices=["lsa", "luong", "none"])
     add("--attn_dim", type=int, default=128)
@@ -143,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="sequence-parallel mesh size (time axis sharded over 'sp')")
     add("--ep", type=int, default=1,
         help="expert-parallel mesh size (MoE expert axis sharded over 'ep')")
+    add("--zero", type=int, default=0, choices=[0, 1, 3],
+        help="ZeRO/FSDP state sharding over the dp axis: 1 shards the "
+             "Adam moments (dp-x less optimizer HBM), 3 also shards the "
+             "parameters (FSDP; XLA inserts the per-layer all-gathers). "
+             "Requires --dp > 1; 0 = fully replicated state (default)")
     add("--moe_experts", type=int, default=0,
         help="replace the transformer FFN with a sparse MoE of this many "
              "experts (0 = dense, reference parity)")
@@ -165,6 +180,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
+    add("--async_ckpt", type=lambda s: s.lower() != "false", default=False,
+        help="background checkpoint writes: save_ckp returns after the "
+             "device->host snapshot and the disk write overlaps the next "
+             "epoch's training")
     add("--auto_resume", type=lambda s: s.lower() != "false", default=False,
         help="resume from checkpoint_path/model_most_recent.ckpt if "
              "present (preemption-safe restarts without --load_path)")
@@ -208,6 +227,9 @@ def model_config_from_args(args):
         t_pre_drop=args.t_pre_drop, t_post_drop=args.t_post_drop,
         e_drop=args.e_drop, d_drop=args.d_drop,
         e_bi=args.e_bi, d_attn=args.d_attn, attn_dim=args.attn_dim,
+        speech_encoder=getattr(args, "speech_encoder", "transformer")
+        or "transformer",
+        conformer_kernel=getattr(args, "conformer_kernel", 15) or 15,
         use_discriminator=args.use_discriminator, disc_hid=args.disc_hid,
         disc_bidirectional=args.disc_bidirectional,
         disc_num_layers=args.disc_num_layers,

@@ -18,7 +18,7 @@ from ..data.batching import BatchGetter, BatchIterator
 from ..data.dataset import LJSpeechDataset, SyntheticSpeechDataset
 from ..infer.evaluate import evaluate
 from .config import parse_with_config, model_config_from_args
-from .checkpoint import save_ckp, load_ckp
+from .checkpoint import save_ckp, load_ckp, wait_for_saves
 from .observe import MetricsWriter, log_loss_metrics, check_nan, maybe_profile
 from .steps import init_train_state, make_train_step
 
@@ -156,7 +156,8 @@ def train(args):
               f"{args.dp * args.tp * sp * ep} devices")
         example = jax.tree_util.tree_map(
             jnp.asarray, batch_getter.step_batches(args, cfg.use_discriminator))
-        train_step, ts = shard_train_step(step_fn, mesh, ts, example)
+        train_step, ts = shard_train_step(step_fn, mesh, ts, example,
+                                          zero=getattr(args, "zero", 0))
         if n_proc > 1:
             # each host holds only its local rows; assemble the global
             # sharded batch arrays across processes
@@ -175,8 +176,12 @@ def train(args):
     from ..models.unast import num_params
     print(f"Training model with {num_params(ts.params)} parameters")
 
+    from .steps import ema_params
+    _eval_params = lambda: (ema_params(ts) if getattr(args, "ema_decay", 0.0)
+                            else None) or ts.params
+
     val_batches = _val_batches(args, datasets["val"])
-    per, eval_losses = evaluate(ts.params, ts.net_state, cfg, args,
+    per, eval_losses = evaluate(_eval_params(), ts.net_state, cfg, args,
                                 val_batches)
     log_loss_metrics(eval_losses, s_epoch - 1, eval_=True)
 
@@ -233,8 +238,9 @@ def train(args):
 
         # pre-save so a crash in eval loses nothing (src/train.py:666-667)
         save_ckp(epoch, 300.0, ts, False, args.checkpoint_path,
-                 temporary_save=True, rng=step_rng)
-        per, eval_losses = evaluate(ts.params, ts.net_state, cfg, args,
+                 temporary_save=True, rng=step_rng,
+                 async_save=getattr(args, "async_ckpt", False))
+        per, eval_losses = evaluate(_eval_params(), ts.net_state, cfg, args,
                                     val_batches)
         log_loss_metrics(epoch_losses, epoch)
         log_loss_metrics(eval_losses, epoch, eval_=True)
@@ -242,7 +248,8 @@ def train(args):
                                     eval_losses.items()}, prefix="eval/")
         writer.scalars(step_count, {"per": per}, prefix="eval/")
 
-        save_ckp(epoch, per, ts, per < best, args.checkpoint_path, rng=step_rng)
+        save_ckp(epoch, per, ts, per < best, args.checkpoint_path,
+                 rng=step_rng, async_save=getattr(args, "async_ckpt", False))
         if args.tb_log_path:
             from .observe import log_example
             try:
@@ -257,8 +264,10 @@ def train(args):
             best = per
         if args.save_every and (epoch + 1) % args.save_every == 0:
             save_ckp(epoch, per, ts, per < best, args.checkpoint_path,
-                     epoch_save=True, rng=step_rng)
+                     epoch_save=True, rng=step_rng,
+                     async_save=getattr(args, "async_ckpt", False))
     stop_prefetch.set()
+    wait_for_saves()
     writer.close()
     return ts, best
 

@@ -7,7 +7,7 @@ requires_grad to alternate generator/discriminator phases
 disjoint param partitions, each stepped once per outer step — identical
 effective updates (frozen torch params produce grad=None and are skipped)."""
 
-from typing import Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +99,47 @@ def make_optimizer(args, schedule: Optional[optax.Schedule] = None):
         raise ValueError(f"unknown optim_type {optim_type}")
     parts.append(optax.scale_by_schedule(lambda s: -schedule(s)))
     return optax.chain(*parts)
+
+
+class EmaState(NamedTuple):
+    """Exponential moving average of the PARAMETERS, held inside the
+    optimizer chain state (so it checkpoints/shards with the rest of the
+    train state — the mesh path rule and ZeRO dp-sharding apply to it
+    unchanged, because the tree mirrors the param tree)."""
+    ema: Any
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Track an EMA of the post-update parameters. Appended LAST in the
+    chain so `updates` are final; passes them through untouched. Capability
+    add over the reference (no EMA there): decoupled weight averaging for
+    eval/serving, a standard TTS quality lever."""
+
+    def init(params):
+        # Real copies: jnp.asarray would alias the param buffers, and the
+        # donated train step then sees the same buffer twice (params +
+        # chain state) — XLA rejects double donation.
+        return EmaState(jax.tree_util.tree_map(
+            lambda p: jnp.array(p, copy=True), params))
+
+    def update(updates, state, params=None):
+        assert params is not None, "params_ema needs params"
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_p)
+        return updates, EmaState(ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def find_ema(opt_state):
+    """Extract the EMA param tree from a chain state (None if no
+    params_ema transform in the chain)."""
+    for s in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, EmaState)):
+        if isinstance(s, EmaState):
+            return s.ema
+    return None
 
 
 def split_params(params):

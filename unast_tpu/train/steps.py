@@ -28,7 +28,8 @@ from ..models import networks as N
 from ..models.config import ModelConfig
 from . import losses as L
 from .augment import specaugment
-from .optim import make_optimizer, make_schedule, split_params
+from .optim import (find_ema, make_optimizer, make_schedule, params_ema,
+                    split_params)
 
 
 class TrainState(NamedTuple):
@@ -51,8 +52,26 @@ def init_train_state(key, cfg: ModelConfig, args) -> TrainState:
 def make_optimizers(cfg: ModelConfig, args):
     sched = make_schedule(args)
     gen_tx = make_optimizer(args, sched)
+    ema = float(getattr(args, "ema_decay", 0.0) or 0.0)
+    if ema > 0.0:
+        # EMA of the generator params rides the chain state (optim.py);
+        # eval/serving read it via ema_params(). Discriminator excluded —
+        # the adversary should track the current generator.
+        gen_tx = optax.chain(gen_tx, params_ema(ema))
     disc_tx = make_optimizer(args, sched)
     return gen_tx, disc_tx
+
+
+def ema_params(ts: TrainState):
+    """Full param tree with the generator partition replaced by its EMA
+    (None if --ema_decay was off). Discriminator params pass through."""
+    ema = find_ema(ts.gen_opt)
+    if ema is None:
+        return None
+    out = dict(ema)
+    if "discriminator" in ts.params:
+        out["discriminator"] = ts.params["discriminator"]
+    return out
 
 
 # ---------------------------------------------------------------------------
