@@ -603,13 +603,66 @@ def bench_reduction(b=1, rs=(1, 2, 4)):
             **{f"r{r}_s": round(t, 4) for r, t in times.items()}}
 
 
+def bench_nar(b=1, tt=64):
+    """FastSpeech one-pass NAR text->mel (models/fastspeech.py) vs the AR
+    KV-cached greedy decode at the same flagship scale and 815-frame cap.
+    The NAR program is static-shape over the full cap, so an untrained
+    duration predictor times identically to a trained one."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import fastspeech as F
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig()  # flagship d=256/4L, 815-frame cap
+    text = jnp.ones((b, tt), jnp.int32)
+    text_len = jnp.full((b,), tt, jnp.int32)
+
+    params, state = F.fastspeech_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def nar(params, state, text, text_len):
+        (_, post, out_lens, _), _ = F.fastspeech_forward(
+            params, state, nn.Ctx.eval(), cfg, text, text_len,
+            max_len=cfg.max_mel_len)
+        return post, out_lens
+
+    dt_nar = _time(lambda: float(nar(params, state, text, text_len)
+                                 [0][0, 0, 0]), iters=5, warmup=2)
+
+    # AR comparison point at identical scale (stop head silenced so the
+    # decode runs the full 815 steps — worst case, same as bench_tts_infer).
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    a_params["speech_m"]["postnet"]["stop_proj"]["b"] = (
+        a_params["speech_m"]["postnet"]["stop_proj"]["b"] - 100.0)
+
+    @jax.jit
+    def ar(params, state, text, text_len):
+        out, _ = U.tts(params, state, nn.Ctx.eval(), cfg, text, text_len,
+                       None, None, infer=True)
+        return out[1]
+
+    dt_ar = _time(lambda: float(ar(a_params, a_state, text, text_len)
+                                [0, 0, 0]), iters=3, warmup=2)
+
+    audio_s = cfg.max_mel_len * P.hop_length / P.sr
+    rtf = dt_nar / audio_s
+    return {"metric": "nar_tts_rtf", "value": round(rtf, 5),
+            "unit": f"x realtime (815-frame one-pass; AR same scale = "
+                    f"{dt_ar / audio_s:.4f})",
+            "vs_baseline": round(dt_ar / dt_nar, 2),
+            "nar_s": round(dt_nar, 4), "ar_s": round(dt_ar, 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
-                             "vocoder", "moe", "quant", "reduction"])
+                             "vocoder", "moe", "quant", "reduction", "nar"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -622,7 +675,8 @@ def main():
           "train": bench_train_step, "attention": bench_attention,
           "mfu": bench_train_mfu, "serve": bench_serving,
           "vocoder": bench_vocoder, "moe": bench_moe,
-          "quant": bench_quant, "reduction": bench_reduction}[args.which]
+          "quant": bench_quant, "reduction": bench_reduction,
+          "nar": bench_nar}[args.which]
     print(json.dumps(fn()))
 
 

@@ -34,13 +34,20 @@ class Synthesizer:
                  vocoder_pv=None, audio_params=AUDIO_DEFAULT,
                  text_buckets: Sequence[int] = (32, 64, 128, 304),
                  mel_buckets: Sequence[int] = (256, 512, 816),
-                 max_batch: int = 8, mesh=None, quantize: str = None):
+                 max_batch: int = 8, mesh=None, quantize: str = None,
+                 nar_pv=None):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
         Synthesizer then serves batches sharded across all chips (params
         replicated, request batch split over 'dp'; XLA runs each shard's
         decode independently, no collectives on this path). max_batch must
         be divisible by the dp size; short chunks are padded by replicating
-        the last request."""
+        the last request.
+
+        `nar_pv`: optional (params, net_state) of a distilled FastSpeech
+        student (models/fastspeech.py, same cfg dims) — the TTS mel path
+        then runs the ONE-PASS non-autoregressive synthesis instead of the
+        KV-cached greedy decode (output length = predicted durations; ASR
+        still uses the AR model)."""
         self.cfg = cfg
         if quantize is not None:
             # int8 weight-only quantization (nn/quant.py): halves the
@@ -50,6 +57,8 @@ class Synthesizer:
             if vocoder_pv is not None:
                 vocoder_pv = (nn.quant.quantize_params(vocoder_pv[0]),
                               vocoder_pv[1])
+            if nar_pv is not None:
+                nar_pv = (nn.quant.quantize_params(nar_pv[0]), nar_pv[1])
         self.vocoder_pv = vocoder_pv
         self.audio_params = audio_params
         # clamp (not drop) buckets above the model caps, so long requests
@@ -71,9 +80,15 @@ class Synthesizer:
             net_state = jax.device_put(net_state, jax.tree_util.tree_map(
                 lambda _: repl, net_state))
             self._req_sharding = NamedSharding(mesh, P("dp"))
+            if nar_pv is not None:
+                nar_pv = tuple(
+                    jax.device_put(t, jax.tree_util.tree_map(
+                        lambda _: repl, t)) for t in nar_pv)
         self.params = params
         self.net_state = net_state
-        self._tts_fn = jax.jit(self._tts_impl)
+        self.nar_pv = nar_pv
+        self._tts_fn = (jax.jit(self._nar_tts_impl) if nar_pv is not None
+                        else jax.jit(self._tts_impl))
         self._asr_fn = jax.jit(self._asr_impl)
         self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
@@ -121,6 +136,16 @@ class Synthesizer:
             params, net_state, nn.Ctx.eval(), self.cfg, ids, lens,
             None, None, infer=True)
         return post, stop_lens
+
+    def _nar_tts_impl(self, params, net_state, ids, lens):
+        # params/net_state args are the AR trees (ignored) so the public
+        # call shape stays identical; the NAR trees ride the closure.
+        from ..models import fastspeech as F
+        nar_p, nar_s = self.nar_pv
+        (_, post, out_lens, _), _ = F.fastspeech_forward(
+            nar_p, nar_s, nn.Ctx.eval(), self.cfg, ids, lens,
+            max_len=self.cfg.max_mel_len)
+        return post, out_lens
 
     def _asr_impl(self, params, net_state, mel, mel_len):
         (ids, stop_lens), _ = U.asr(params, net_state, nn.Ctx.eval(),

@@ -1,0 +1,184 @@
+"""FastSpeech-style non-autoregressive TTS (Ren et al., "FastSpeech: Fast,
+Robust and Controllable Text to Speech", 2019).
+
+Model-family ADDITION over the reference, which synthesizes speech only
+autoregressively (one mel frame per decoder step with no KV cache,
+src/network.py:229-276). Here the whole mel is produced in ONE forward
+pass: text encoder -> per-token duration predictor -> length regulator
+(token-to-frame expansion) -> frame-level self-attention decoder -> mel
+head + convolutional postnet. No stop token — the output length is the sum
+of the predicted durations.
+
+This is the TPU-native serving shape: a single static-shape program of
+large batched matmuls on the MXU instead of max_mel_len sequential
+dispatches; decode latency drops from O(T) round trips to one.
+
+Training distills durations from a trained autoregressive UNAST teacher:
+per text token, the number of mel frames whose (layer/head-averaged)
+cross-attention argmax lands on that token (`durations_from_attention`,
+consuming the same cross_weights_out plumbing the guided-attention loss
+uses). Mel targets are the gold mels; the duration predictor regresses
+log(1 + d). See train/fastspeech.py for the trainer and
+scripts/nar_distill_check.py for the end-to-end gate.
+
+Reuses the package's building blocks: text prenet (embed + conv stack,
+modules.text_prenet_init), transformer encoder stacks (transformer.encoder
+— scan_layers / remat / flash attention all apply), speech postnet convs,
+and ModelConfig dimensions. The param tree embeds cleanly under the same
+mesh rules (q/k/v/lin1/lin2 regexes in parallel/mesh.py), so dp/tp
+sharding works unchanged.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from . import modules as M
+from . import transformer as T
+from .config import ModelConfig
+
+
+# ---------------------------------------------------------------------------
+# Duration predictor: 2x (conv1d k3 -> ReLU -> LayerNorm -> dropout) -> linear
+# (FastSpeech §3.3). Predicts log(1 + duration) per token.
+# ---------------------------------------------------------------------------
+
+
+def duration_predictor_init(key, d: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": nn.conv1d_init(k1, d, d, 3, w_init="relu"),
+        "ln1": nn.layernorm_init(d),
+        "conv2": nn.conv1d_init(k2, d, d, 3, w_init="relu"),
+        "ln2": nn.layernorm_init(d),
+        "fc": nn.linear_init(k3, d, 1, torch_default=True),
+    }
+
+
+def duration_predictor(p, ctx: nn.Ctx, x, pad_mask, dropout_p: float = 0.1):
+    """x: [B, Tt, D] -> log-duration predictions [B, Tt] (f32), zeroed on
+    PAD tokens. Padded positions are zeroed before each conv so its k=3
+    window never reads garbage."""
+    keep = (~pad_mask)[..., None].astype(x.dtype)
+    h = nn.conv1d(p["conv1"], x * keep, padding=(1, 1))
+    h = nn.dropout(ctx, nn.layernorm(p["ln1"], jax.nn.relu(h)), dropout_p)
+    h = nn.conv1d(p["conv2"], h * keep, padding=(1, 1))
+    h = nn.dropout(ctx, nn.layernorm(p["ln2"], jax.nn.relu(h)), dropout_p)
+    logd = nn.linear(p["fc"], h)[..., 0].astype(jnp.float32)
+    return logd * (~pad_mask)
+
+
+# ---------------------------------------------------------------------------
+# Length regulator: expand token embeddings to frames by duration.
+# ---------------------------------------------------------------------------
+
+
+def length_regulate(x, durations, max_len: int):
+    """x: [B, Tt, D], durations: int32 [B, Tt] (0 on PAD) -> (frames
+    [B, max_len, D], out_lens [B]).
+
+    Static-shape expansion: frame j belongs to the token whose cumulative-
+    duration interval contains j, resolved with a comparison against the
+    cumsum and applied as a one-hot matmul (MXU work, no gather/scatter;
+    gathers lower poorly on TPU). Frames beyond sum(durations) are zero."""
+    b, tt, _ = x.shape
+    ends = jnp.cumsum(durations.astype(jnp.int32), axis=1)  # [B, Tt]
+    out_lens = jnp.minimum(ends[:, -1], max_len)
+    pos = jnp.arange(max_len, dtype=jnp.int32)
+    # idx[b, j] = number of tokens fully emitted by frame j = owning token.
+    idx = jnp.sum(pos[None, :, None] >= ends[:, None, :], axis=-1)  # [B, Tm]
+    onehot = jax.nn.one_hot(idx, tt, dtype=x.dtype)  # [B, Tm, Tt]
+    frames = jnp.einsum("bmt,btd->bmd", onehot, x)
+    valid = (pos[None, :] < out_lens[:, None])[..., None].astype(x.dtype)
+    return frames * valid, out_lens
+
+
+def durations_from_attention(attn, mel_len, text_len):
+    """Teacher-alignment duration extraction (FastSpeech §3.4).
+
+    attn: [L, B, H, Tm, Tt] cross-attention probs from a teacher-forced
+    autoregressive TTS decode (networks.speech_tr_decode_sequence's
+    cross_weights_out). Averages layers/heads, masks PAD text columns,
+    argmaxes per frame, and counts frames per token over valid frames.
+    Returns int32 [B, Tt] durations summing to mel_len per row."""
+    a = jnp.mean(attn.astype(jnp.float32), axis=(0, 2))  # [B, Tm, Tt]
+    tm, tt = a.shape[1], a.shape[2]
+    text_valid = M.lens_to_mask(text_len, tt)  # [B, Tt]
+    a = jnp.where(text_valid[:, None, :], a, -jnp.inf)
+    tok = jnp.argmax(a, axis=-1)  # [B, Tm]
+    frame_valid = M.lens_to_mask(mel_len, tm).astype(jnp.int32)
+    onehot = jax.nn.one_hot(tok, tt, dtype=jnp.int32)
+    return jnp.sum(onehot * frame_valid[..., None], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+def fastspeech_init(key, cfg: ModelConfig):
+    """Returns (params, state). state carries the text-prenet and postnet
+    BatchNorm running stats (same explicit-state discipline as networks)."""
+    ks = jax.random.split(key, 5)
+    prenet_p, prenet_s = M.text_prenet_init(ks[0], cfg)
+    postnet_p, postnet_s = M.speech_postnet_init(ks[1], cfg)
+    # The AR heads' stop_proj has no meaning without a stop token, and
+    # mel_proj must emit exactly num_mels per frame (reduction grouping is
+    # an AR-decode concept): replace both with a single frame-level head.
+    del postnet_p["stop_proj"]
+    postnet_p["mel_proj"] = nn.linear_init(
+        jax.random.split(ks[1])[1], cfg.e_in, cfg.num_mels,
+        torch_default=True)
+    params = {
+        "prenet": prenet_p,
+        "encoder": T.encoder_init(ks[2], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                                  cfg.num_layers),
+        "dur": duration_predictor_init(ks[3], cfg.e_in),
+        "decoder": T.encoder_init(ks[4], cfg.e_in, cfg.nhead, cfg.ffn_dim,
+                                  cfg.num_layers),
+        "postnet": postnet_p,
+    }
+    return params, {"prenet": prenet_s, "postnet": postnet_s}
+
+
+def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
+                       durations=None, max_len: Optional[int] = None,
+                       speed: float = 1.0):
+    """text: [B, Tt] int32 -> ((pre, post [B, max_len, num_mels], out_lens,
+    log_dur_pred [B, Tt]), new_state).
+
+    durations: int32 [B, Tt] teacher durations (training — the regulator
+    uses them so mel targets align frame-for-frame). None = inference: the
+    regulator uses round(expm1(log_dur_pred) / speed) (speed > 1 talks
+    faster, the FastSpeech control knob)."""
+    tt = text.shape[1]
+    max_len = int(max_len or cfg.max_mel_len)
+    pad_mask = ~M.lens_to_mask(text_lens, tt)
+
+    x = M.text_embed(p["prenet"], ctx, text, cfg)
+    x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
+    x = M.positional_encoding(ctx, x)
+    h = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop,
+                  impl=cfg.attn_impl, scan_layers=cfg.scan_layers,
+                  remat=cfg.remat)
+
+    log_dur = duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
+    if durations is None:
+        durations = jnp.round(jnp.expm1(log_dur) / speed).astype(jnp.int32)
+        durations = jnp.maximum(durations, 0) * (~pad_mask)
+
+    frames, out_lens = length_regulate(h, durations, max_len)
+    frames = M.positional_encoding(ctx, frames)
+    frame_pad = ~M.lens_to_mask(out_lens, max_len)
+    d = T.encoder(p["decoder"], ctx, frames, frame_pad, cfg.nhead,
+                  cfg.d_drop, impl=cfg.attn_impl,
+                  scan_layers=cfg.scan_layers, remat=cfg.remat)
+
+    pre = nn.linear(p["postnet"]["mel_proj"], d)
+    resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx,
+                                        pre, cfg)
+    keep = (~frame_pad)[..., None].astype(pre.dtype)
+    return ((pre * keep, (pre + resid) * keep, out_lens, log_dur),
+            {"prenet": prenet_s, "postnet": postnet_s})

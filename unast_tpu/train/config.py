@@ -180,6 +180,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
+    add("--nar_steps", type=int, default=2000,
+        help="FastSpeech distillation steps (train/fastspeech.py CLI)")
+    add("--nar_dur_weight", type=float, default=1.0,
+        help="weight of the log-duration regression term in the "
+             "FastSpeech distillation loss")
     add("--async_ckpt", type=lambda s: s.lower() != "false", default=False,
         help="background checkpoint writes: save_ckp returns after the "
              "device->host snapshot and the disk write overlaps the next "

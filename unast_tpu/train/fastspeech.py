@@ -1,0 +1,184 @@
+"""FastSpeech NAR TTS trainer: duration distillation from an AR teacher.
+
+Capability add over the reference (AR-only synthesis,
+src/network.py:229-276). The student (models/fastspeech.py) learns
+
+  - mel regression against the GOLD mels (pre + post masked MSE, the same
+    losses the AR model trains with, train/losses.py::masked_mse), with
+    the length regulator driven by TEACHER durations so frames align; and
+  - log(1 + duration) regression against those teacher durations,
+
+where durations come from the teacher's cross-attention argmax counts
+(models/fastspeech.py::durations_from_attention), extracted IN-GRAPH from
+a teacher-forced U.tts pass — one jitted step does teacher alignment +
+student fwd/bwd, so distillation runs at train-step speed on the chip.
+
+CLI (teacher checkpoint -> student checkpoint):
+    python -m unast_tpu.train.fastspeech --load_path <ar_ckpt> \
+        --checkpoint_path <out_dir> [--nar_steps N] [usual config flags]
+
+End-to-end gate (trains the teacher first): scripts/nar_distill_check.py.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import nn
+from ..models import fastspeech as F
+from ..models import unast as U
+from ..models.config import ModelConfig
+from ..models.modules import lens_to_mask
+from . import losses as L
+from .optim import make_optimizer, make_schedule
+
+
+class FSTrainState(NamedTuple):
+    params: dict
+    net_state: dict
+    opt: object
+    step: jnp.ndarray
+
+
+def init_fs_state(key, cfg: ModelConfig, args) -> FSTrainState:
+    params, net_state = F.fastspeech_init(key, cfg)
+    tx = make_optimizer(args, make_schedule(args))
+    return FSTrainState(params, net_state, tx.init(params),
+                        jnp.zeros((), jnp.int32))
+
+
+def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
+    """Returns step(fs_state, teacher_params, teacher_state, rng, batch)
+    -> (new_fs_state, metrics). batch: dict with text/text_len/mel/mel_len
+    (the BatchIterator layout). jit with donate_argnums=(0,)."""
+    tx = make_optimizer(args, make_schedule(args))
+    dur_w = float(getattr(args, "nar_dur_weight", 1.0) or 1.0)
+
+    def step(fs: FSTrainState, t_params, t_state, rng, batch):
+        text = batch["text"]
+        text_len = batch["text_len"]
+        mel = batch["mel"]
+        mel_len = batch["mel_len"]
+
+        # Teacher alignment (no dropout, running BN stats, no grads).
+        ws = []
+        U.tts(t_params, t_state, nn.Ctx.eval(), teacher_cfg, text, text_len,
+              mel, mel_len, cross_weights_out=ws)
+        dur = F.durations_from_attention(jnp.stack(ws), mel_len, text_len)
+        dur = jax.lax.stop_gradient(dur)
+
+        def loss_fn(params):
+            ctx = nn.Ctx(rng=rng, train=True)
+            (pre, post, _, logd), ns = F.fastspeech_forward(
+                params, fs.net_state, ctx, cfg, text, text_len,
+                durations=dur, max_len=mel.shape[1])
+            mask = lens_to_mask(mel_len, mel.shape[1])[..., None]
+            l_pre = L.masked_mse(mel, pre, mask)
+            l_post = L.masked_mse(mel, post, mask)
+            tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
+            d_err = (logd - jnp.log1p(dur.astype(jnp.float32))) ** 2
+            l_dur = jnp.sum(d_err * tv) / jnp.maximum(jnp.sum(tv), 1.0)
+            loss = l_pre + l_post + dur_w * l_dur
+            return loss, (ns, {"nar/pre": l_pre, "nar/post": l_post,
+                               "nar/dur": l_dur})
+
+        grads, (ns, metrics) = jax.grad(loss_fn, has_aux=True)(fs.params)
+        updates, opt = tx.update(grads, fs.opt, fs.params)
+        params = optax.apply_updates(fs.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return FSTrainState(params, ns, opt, fs.step + 1), metrics
+
+    return step
+
+
+def make_nar_infer(cfg: ModelConfig, max_len: int, speed: float = 1.0):
+    """Jitted free-running NAR synthesis (PREDICTED durations):
+    (params, net_state, text, text_len) -> (post_mel, out_lens)."""
+
+    @jax.jit
+    def infer(params, net_state, text, text_len):
+        (_, post, out_lens, _), _ = F.fastspeech_forward(
+            params, net_state, nn.Ctx.eval(), cfg, text, text_len,
+            max_len=max_len, speed=speed)
+        return post, out_lens
+
+    return infer
+
+
+def eval_nar_mse(fs: FSTrainState, cfg: ModelConfig, batch,
+                 speed: float = 1.0):
+    """Free-running NAR synthesis (PREDICTED durations) vs gold mel,
+    scored over the overlap of predicted/gold lengths per utterance.
+    Returns (mse, [(pred_len, gold_len), ...])."""
+    infer = make_nar_infer(cfg, int(batch["mel"].shape[1]), speed)
+    post, out_lens = infer(fs.params, fs.net_state,
+                           jnp.asarray(batch["text"]),
+                           jnp.asarray(batch["text_len"]))
+    post = np.asarray(post, np.float32)
+    out_lens = np.asarray(out_lens)
+    gold, gold_len = batch["mel"], batch["mel_len"]
+    errs, lens = [], []
+    for i in range(len(gold)):
+        n = min(int(out_lens[i]), int(gold_len[i]))
+        if n > 0:
+            errs.append(float(np.mean((post[i, :n] - gold[i, :n]) ** 2)))
+        lens.append((int(out_lens[i]), int(gold_len[i])))
+    return float(np.mean(errs)), lens
+
+
+def main(argv=None):
+    import os
+
+    from ..data.batching import BatchIterator
+    from ..data.dataset import LJSpeechDataset, SyntheticSpeechDataset
+    from .checkpoint import load_ckp, save_ckp
+    from .config import model_config_from_args, parse_with_config
+    from .steps import init_train_state
+
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    n_steps = int(getattr(args, "nar_steps", 0) or 2000)
+
+    # Teacher: a trained AR checkpoint (params + BN state restored into a
+    # freshly-initialized template).
+    t_template = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    if args.load_path:
+        _, _, t_ts, _ = load_ckp(args.load_path, t_template)
+    else:
+        print("WARNING: no --load_path; distilling from an UNTRAINED "
+              "teacher (smoke-test mode)")
+        t_ts = t_template
+
+    if getattr(args, "synthetic", False) or not os.path.isdir(args.data_path):
+        ds = SyntheticSpeechDataset(size=64, seed=0)
+    else:
+        ds = LJSpeechDataset(args.data_path, "labeled_train")
+    it = BatchIterator(ds, args.train_batch_size, args.data_text_len,
+                       args.data_mel_len, seed=args.seed + 1)
+
+    fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+    step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(2)
+    keys = ("text", "text_len", "mel", "mel_len")
+    for i in range(n_steps):
+        raw = it.next_batch()
+        batch = {k: jnp.asarray(raw[k]) for k in keys}
+        fs, m = step(fs, t_ts.params, t_ts.net_state,
+                     jax.random.fold_in(rng, i), batch)
+        if (i + 1) % 100 == 0:
+            print(f"step {i + 1}: " + " ".join(
+                f"{k} {float(v):.4f}" for k, v in sorted(m.items())))
+    it = BatchIterator(ds, args.eval_batch_size, args.data_text_len,
+                       args.data_mel_len, seed=9)
+    mse, lens = eval_nar_mse(fs, cfg, it.next_batch())
+    print(f"NAR free-running mel MSE {mse:.4f}; (pred, gold) lens: {lens}")
+    if args.checkpoint_path:
+        save_ckp(0, mse, fs, True, args.checkpoint_path)
+    return fs, mse
+
+
+if __name__ == "__main__":
+    main()
