@@ -143,6 +143,31 @@ def fastspeech_init(key, cfg: ModelConfig):
     return params, {"prenet": prenet_s, "postnet": postnet_s}
 
 
+def _encode(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, pad_mask):
+    """Shared text-side encode: embed -> conv prenet -> positions ->
+    transformer stack. Returns (h [B, Tt, D], new_prenet_state)."""
+    x = M.text_embed(p["prenet"], ctx, text, cfg)
+    x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
+    x = M.positional_encoding(ctx, x)
+    h = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop,
+                  impl=cfg.attn_impl, scan_layers=cfg.scan_layers,
+                  remat=cfg.remat)
+    return h, prenet_s
+
+
+def predict_log_durations(p, s, cfg: ModelConfig, text, text_lens):
+    """EVAL-MODE duration prediction (no dropout, running BN stats) —
+    exactly the branch inference uses. The distillation loss regresses
+    THIS output (train/fastspeech.py): regressing a train-mode branch
+    leaves a systematic eval-time length bias (~+10-20% measured on the
+    gate — 0.5 prenet dropout + batch-stat BN shift the head's input
+    distribution between modes)."""
+    pad_mask = ~M.lens_to_mask(text_lens, text.shape[1])
+    ctx = nn.Ctx.eval()
+    h, _ = _encode(p, s, ctx, cfg, text, pad_mask)
+    return duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
+
+
 def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
                        durations=None, max_len: Optional[int] = None,
                        speed: float = 1.0):
@@ -157,12 +182,7 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
     max_len = int(max_len or cfg.max_mel_len)
     pad_mask = ~M.lens_to_mask(text_lens, tt)
 
-    x = M.text_embed(p["prenet"], ctx, text, cfg)
-    x, prenet_s = M.text_prenet_convs(p["prenet"], s["prenet"], ctx, x, cfg)
-    x = M.positional_encoding(ctx, x)
-    h = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead, cfg.e_drop,
-                  impl=cfg.attn_impl, scan_layers=cfg.scan_layers,
-                  remat=cfg.remat)
+    h, prenet_s = _encode(p, s, ctx, cfg, text, pad_mask)
 
     log_dur = duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
     if durations is None:

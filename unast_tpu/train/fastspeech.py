@@ -72,12 +72,17 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
 
         def loss_fn(params):
             ctx = nn.Ctx(rng=rng, train=True)
-            (pre, post, _, logd), ns = F.fastspeech_forward(
+            (pre, post, _, _), ns = F.fastspeech_forward(
                 params, fs.net_state, ctx, cfg, text, text_len,
                 durations=dur, max_len=mel.shape[1])
             mask = lens_to_mask(mel_len, mel.shape[1])[..., None]
             l_pre = L.masked_mse(mel, pre, mask)
             l_post = L.masked_mse(mel, post, mask)
+            # Duration loss on the EVAL-MODE branch — the path inference
+            # actually runs (models/fastspeech.py::predict_log_durations
+            # explains the train/eval length-bias this removes).
+            logd = F.predict_log_durations(params, fs.net_state, cfg,
+                                           text, text_len)
             tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
             d_err = (logd - jnp.log1p(dur.astype(jnp.float32))) ** 2
             l_dur = jnp.sum(d_err * tv) / jnp.maximum(jnp.sum(tv), 1.0)
