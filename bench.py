@@ -656,13 +656,43 @@ def bench_nar(b=1, tt=64):
             "nar_s": round(dt_nar, 4), "ar_s": round(dt_ar, 4)}
 
 
+def bench_melgan(batch=16, frames=816):
+    """Neural vocoder (models/melgan.py) mel->wav RTF vs the Griffin-Lim
+    serving path (mel -> pseudo-inverse mag lift -> 60-iteration GL) at the
+    same batch/length — the two mel->wav options in Synthesizer."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.audio import dsp
+    from unast_tpu.audio.params import DEFAULT as P
+    from unast_tpu.models import melgan as G
+
+    params = G.melgan_init(jax.random.PRNGKey(0))
+    mel = jax.random.uniform(jax.random.PRNGKey(1), (batch, frames, 80))
+
+    voc = jax.jit(lambda p, m: G.melgan_forward(p, m))
+    lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(P))
+    gl = jax.jit(lambda l, m: jax.vmap(
+        lambda x: dsp._mag_to_wav_core(x, P))(jnp.clip(m @ l, 1e-8, 1.0)))
+
+    dt_nn = _time(lambda: float(voc(params, mel)[0, 0]), iters=5, warmup=2)
+    dt_gl = _time(lambda: float(gl(lift, mel)[0, 0]), iters=3, warmup=2)
+    audio_s = batch * frames * P.hop_length / P.sr
+    rtf = dt_nn / audio_s
+    return {"metric": "melgan_vocoder_rtf", "value": round(rtf, 6),
+            "unit": f"x realtime (batch {batch} x {frames} frames; "
+                    f"griffin-lim path = {dt_gl / audio_s:.6f})",
+            "vs_baseline": round(dt_gl / dt_nn, 2),
+            "melgan_s": round(dt_nn, 4), "gl_s": round(dt_gl, 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--which", default="wav_to_mel",
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
-                             "vocoder", "moe", "quant", "reduction", "nar"])
+                             "vocoder", "moe", "quant", "reduction", "nar",
+                             "melgan"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -676,7 +706,7 @@ def main():
           "mfu": bench_train_mfu, "serve": bench_serving,
           "vocoder": bench_vocoder, "moe": bench_moe,
           "quant": bench_quant, "reduction": bench_reduction,
-          "nar": bench_nar}[args.which]
+          "nar": bench_nar, "melgan": bench_melgan}[args.which]
     print(json.dumps(fn()))
 
 

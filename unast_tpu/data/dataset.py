@@ -127,6 +127,9 @@ class SyntheticSpeechDataset:
             wav = synth_audio(ids, self.params.sr, rng,
                               phoneme_dur_s=self.phoneme_dur_s)
             mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
+            # raw wav kept for neural-vocoder training (train/melgan.py);
+            # collate ignores extra keys
             self._items[i] = {"ids": ids, "mel": mel, "mag": mag,
+                              "wav": wav.astype(np.float32),
                               "fname": f"SYN-{i:05d}"}
         return self._items[i]

@@ -35,7 +35,7 @@ class Synthesizer:
                  text_buckets: Sequence[int] = (32, 64, 128, 304),
                  mel_buckets: Sequence[int] = (256, 512, 816),
                  max_batch: int = 8, mesh=None, quantize: str = None,
-                 nar_pv=None):
+                 nar_pv=None, melgan_params=None):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
         Synthesizer then serves batches sharded across all chips (params
         replicated, request batch split over 'dp'; XLA runs each shard's
@@ -47,7 +47,12 @@ class Synthesizer:
         student (models/fastspeech.py, same cfg dims) — the TTS mel path
         then runs the ONE-PASS non-autoregressive synthesis instead of the
         KV-cached greedy decode (output length = predicted durations; ASR
-        still uses the AR model)."""
+        still uses the AR model).
+
+        `melgan_params`: optional trained neural-vocoder params
+        (models/melgan.py) — wav synthesis then runs the one-pass conv
+        generator instead of Griffin-Lim (takes precedence over
+        vocoder_pv/lift)."""
         self.cfg = cfg
         if quantize is not None:
             # int8 weight-only quantization (nn/quant.py): halves the
@@ -96,7 +101,12 @@ class Synthesizer:
         # pseudo-inverse lift) -> batched Griffin-Lim -> wavs. Everything in
         # one jit — eager ops are per-op compiles on the axon TPU backend.
         gl = jax.vmap(lambda m: dsp._mag_to_wav_core(m, audio_params))
-        if vocoder_pv is not None:
+        self.melgan_params = melgan_params
+        if melgan_params is not None:
+            from ..models import melgan as MG
+            self._vocode_fn = jax.jit(
+                lambda mp, mel_b: MG.melgan_forward(mp, mel_b))
+        elif vocoder_pv is not None:
             def _vocode(vp, vs, mel_b):
                 mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), mel_b)
                 return gl(jnp.clip(mag, 1e-8, 1.0))
@@ -216,7 +226,9 @@ class Synthesizer:
             tb = self._bucket(self.mel_buckets,
                               max(1, int(stop_lens[:n].max())))
             mel_b = post[:, :tb]
-            if self.vocoder_pv is not None:
+            if self.melgan_params is not None:
+                wavs = self._vocode_fn(self.melgan_params, mel_b)
+            elif self.vocoder_pv is not None:
                 vp, vs = self.vocoder_pv
                 wavs = self._vocode_fn(vp, vs, mel_b)
             else:

@@ -1,0 +1,101 @@
+"""MelGAN-style fully-convolutional neural vocoder: mel [B, T, 80] ->
+waveform [B, T * hop] in one forward pass (Kumar et al., "MelGAN", 2019 —
+generator architecture; trained here with the multi-resolution STFT loss
+of Yamamoto et al., "Parallel WaveGAN", 2020, train/melgan.py).
+
+Model-family ADDITION over the reference, whose only wav path is
+Griffin-Lim phase recovery over CBHG-predicted magnitudes
+(src/utils.py:61-103): a learned vocoder replaces the 60-iteration
+iterative inversion with a single conv stack — TPU-friendly (all FLOPs in
+conv/transposed-conv = MXU work, static shapes) and ~an order of magnitude
+faster than on-device Griffin-Lim at serving time (bench --which melgan).
+
+Upsampling factorizes the hop length (275 = 5 * 5 * 11): three transposed-
+conv stages of stride 5/5/11, each followed by dilated residual blocks
+(receptive-field growth without resolution loss). Output is tanh-bounded
+raw waveform — the RAW signal, not the preemphasized one the DSP analyzes
+(the trainer's wav targets are raw, so no de-emphasis is needed at
+serve time).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+LEAK = 0.2  # MelGAN LeakyReLU slope
+
+
+def _conv_init(key, c_in: int, c_out: int, k: int):
+    kw, kb = jax.random.split(key)
+    fan_in = k * c_in
+    return {"w": nn.torch_linear_uniform(kw, (k, c_in, c_out), fan_in),
+            "b": nn.torch_linear_uniform(kb, (c_out,), fan_in)}
+
+
+def _conv(p, x, dilation: int = 1):
+    """Same-padded 1-D conv, x: [B, W, C]."""
+    k = p["w"].shape[0]
+    span = (k - 1) * dilation
+    pad = (span // 2, span - span // 2)
+    y = jax.lax.conv_general_dilated(
+        x, nn.weight(p, x.dtype), window_strides=(1,), padding=[pad],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y + p["b"].astype(x.dtype)
+
+
+def _convT(p, x, stride: int):
+    """Transposed conv (k = 2*stride), upsamples W exactly stride-fold."""
+    y = jax.lax.conv_transpose(
+        x, nn.weight(p, x.dtype), strides=(stride,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y + p["b"].astype(x.dtype)
+
+
+def _resblock_init(key, c: int, dilations=(1, 3, 9)):
+    ks = jax.random.split(key, 2 * len(dilations))
+    return [{"d1": _conv_init(ks[2 * i], c, c, 3),
+             "d2": _conv_init(ks[2 * i + 1], c, c, 1)}
+            for i in range(len(dilations))]
+
+
+def _resblock(ps, x, dilations=(1, 3, 9)):
+    for p, d in zip(ps, dilations):
+        h = _conv(p["d1"], jax.nn.leaky_relu(x, LEAK), dilation=d)
+        h = _conv(p["d2"], jax.nn.leaky_relu(h, LEAK))
+        x = x + h
+    return x
+
+
+def melgan_init(key, n_mels: int = 80, base: int = 256,
+                rates=(5, 5, 11), dilations=(1, 3, 9)):
+    """Returns params for a mel -> wav generator with prod(rates) == hop."""
+    ks = jax.random.split(key, 2 + 2 * len(rates))
+    params = {"pre": _conv_init(ks[0], n_mels, base, 7), "ups": [],
+              "res": []}
+    c = base
+    for i, r in enumerate(rates):
+        c_out = max(c // 2, 32)
+        params["ups"].append(_conv_init(ks[1 + 2 * i], c, c_out, 2 * r))
+        params["res"].append(_resblock_init(ks[2 + 2 * i], c_out, dilations))
+        c = c_out
+    params["post"] = _conv_init(ks[-1], c, 1, 7)
+    return params
+
+
+def melgan_forward(p, mel, rates=(5, 5, 11), dilations=(1, 3, 9)):
+    """mel [B, T, n_mels] -> wav [B, T * prod(rates)], tanh-bounded."""
+    x = _conv(p["pre"], mel)
+    for up, res, r in zip(p["ups"], p["res"], rates):
+        x = _convT(up, jax.nn.leaky_relu(x, LEAK), r)
+        x = _resblock(res, x, dilations)
+    x = _conv(p["post"], jax.nn.leaky_relu(x, LEAK))
+    return jnp.tanh(x)[..., 0]
+
+
+def num_params(p) -> int:
+    return sum(int(math.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(p))

@@ -180,6 +180,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--fast_prng", type=lambda s: s.lower() != "false", default=False,
         help="hardware RBG PRNG for dropout/noise (1.6x faster train step "
              "on TPU; changes random streams vs default threefry)")
+    add("--vocoder_steps", type=int, default=2000,
+        help="neural-vocoder training steps (train/melgan.py CLI)")
+    add("--vocoder_crop_frames", type=int, default=40,
+        help="mel-frame crop length for neural-vocoder training")
+    add("--melgan_base", type=int, default=256,
+        help="neural-vocoder generator base channel width")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,
