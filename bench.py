@@ -685,6 +685,52 @@ def bench_melgan(batch=16, frames=816):
             "melgan_s": round(dt_nn, 4), "gl_s": round(dt_gl, 4)}
 
 
+def bench_data(n_items=256, batch=32, iters=50):
+    """Host data pipeline: batches/s from the packed-shard native collate
+    (data/shard.py, one mmap + one C call per batch) vs the reference-
+    style cache layout (one .npy pair per utterance loaded per item —
+    src/prepare_data.py:10-46 — then python collate)."""
+    import os
+    import tempfile
+    from unast_tpu.data.batching import BatchIterator
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.data.shard import PackedShardDataset, write_shard
+
+    ds = SyntheticSpeechDataset(size=n_items, seed=0)
+    root = tempfile.mkdtemp()
+    for i in range(n_items):
+        it = ds[i]
+        np.save(os.path.join(root, f"ids-{i}.npy"), it["ids"])
+        np.save(os.path.join(root, f"mel-{i}.npy"),
+                it["mel"].astype(np.float32))
+    path = os.path.join(root, "bench.unsh")
+    write_shard((ds[i] for i in range(n_items)), path)
+    ps = PackedShardDataset(path)
+
+    class NpyDirDataset:  # the reference's per-utterance cache layout
+        def __len__(self):
+            return n_items
+
+        def __getitem__(self, i):
+            return {"ids": np.load(os.path.join(root, f"ids-{i}.npy")),
+                    "mel": np.load(os.path.join(root, f"mel-{i}.npy"))}
+
+    def run(dataset):
+        it = BatchIterator(dataset, batch, 304, 816, seed=1)
+        it.next_batch()  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            it.next_batch()
+        return iters / (time.perf_counter() - t0)
+
+    fast = run(ps)
+    slow = run(NpyDirDataset())
+    return {"metric": "data_pipeline_batches_per_s", "value": round(fast, 1),
+            "unit": f"batches/s (bs{batch}, 304/816 caps; npy-per-item "
+                    f"path = {slow:.1f}, native={'yes' if ps._h else 'NO'})",
+            "vs_baseline": round(fast / slow, 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
@@ -692,7 +738,7 @@ def main():
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
                              "vocoder", "moe", "quant", "reduction", "nar",
-                             "melgan"])
+                             "melgan", "data"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -706,7 +752,8 @@ def main():
           "mfu": bench_train_mfu, "serve": bench_serving,
           "vocoder": bench_vocoder, "moe": bench_moe,
           "quant": bench_quant, "reduction": bench_reduction,
-          "nar": bench_nar, "melgan": bench_melgan}[args.which]
+          "nar": bench_nar, "melgan": bench_melgan,
+          "data": bench_data}[args.which]
     print(json.dumps(fn()))
 
 

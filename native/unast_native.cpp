@@ -177,4 +177,127 @@ void pad_batch_f32(const float** rows, const int64_t* lens, int batch,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Packed dataset shard: one mmap'd file holding the whole corpus
+// (unast_tpu/data/shard.py writes it; format doc there). Replaces
+// thousands of per-utterance .npy files with zero-copy reads + a single-
+// call C batch collate (pad/truncate + f16->f32) on the training hot path.
+//
+// Layout (little-endian):
+//   0: magic "UNSH" | u32 version=1 | u64 n_items | u32 n_mels | u32 pad
+//   24: index, n_items x 4 u64: text_off, text_count, mel_off, mel_frames
+//       (offsets are absolute byte positions; text = i32, mel = f16)
+//   payload
+// ---------------------------------------------------------------------------
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Shard {
+  const uint8_t* base;
+  int64_t size;
+  int64_t n_items;
+  int32_t n_mels;
+  const uint64_t* index;  // [n_items * 4]
+};
+
+inline float f16_to_f32(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1fu;
+  uint32_t man = h & 0x3ffu;
+  uint32_t f;
+  if (exp == 0) {
+    if (man == 0) {
+      f = sign;
+    } else {  // subnormal: renormalize
+      int e = 112;  // 127 - 15
+      while (!(man & 0x400u)) { man <<= 1; --e; }
+      man &= 0x3ffu;
+      f = sign | ((uint32_t)(e + 1) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {  // inf / nan
+    f = sign | 0x7f800000u | (man << 13);
+  } else {
+    f = sign | ((exp + 112u) << 23) | (man << 13);
+  }
+  float out;
+  memcpy(&out, &f, 4);
+  return out;
+}
+
+}  // namespace
+
+void* shard_open(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 24) { close(fd); return nullptr; }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);  // mapping persists
+  if (base == MAP_FAILED) return nullptr;
+  const uint8_t* p = (const uint8_t*)base;
+  if (memcmp(p, "UNSH", 4) != 0) { munmap(base, st.st_size); return nullptr; }
+  uint32_t version;
+  memcpy(&version, p + 4, 4);
+  if (version != 1) { munmap(base, st.st_size); return nullptr; }
+  Shard* s = new Shard;
+  s->base = p;
+  s->size = st.st_size;
+  uint64_t n;
+  memcpy(&n, p + 8, 8);
+  s->n_items = (int64_t)n;
+  memcpy(&s->n_mels, p + 16, 4);
+  s->index = (const uint64_t*)(p + 24);
+  return s;
+}
+
+void shard_close(void* h) {
+  Shard* s = (Shard*)h;
+  if (!s) return;
+  munmap((void*)s->base, s->size);
+  delete s;
+}
+
+int64_t shard_len(void* h) { return ((Shard*)h)->n_items; }
+int32_t shard_n_mels(void* h) { return ((Shard*)h)->n_mels; }
+
+void shard_lens(void* h, const int64_t* idx, int n, int32_t* text_lens,
+                int32_t* mel_frames) {
+  Shard* s = (Shard*)h;
+  for (int i = 0; i < n; ++i) {
+    const uint64_t* e = s->index + idx[i] * 4;
+    text_lens[i] = (int32_t)e[1];
+    mel_frames[i] = (int32_t)e[3];
+  }
+}
+
+// Single-call batch assembly: text ids padded/truncated to [batch,
+// text_cap] i32, mels to [batch, mel_cap, n_mels] f32 (converted from the
+// stored f16), clamped lengths out — exactly data/batching.py::collate.
+void shard_collate(void* h, const int64_t* idx, int batch, int64_t text_cap,
+                   int64_t mel_cap, int32_t* text_out, float* mel_out,
+                   int32_t* tlen_out, int32_t* mlen_out) {
+  Shard* s = (Shard*)h;
+  const int64_t d = s->n_mels;
+  for (int b = 0; b < batch; ++b) {
+    const uint64_t* e = s->index + idx[b] * 4;
+    const int32_t* ids = (const int32_t*)(s->base + e[0]);
+    const uint16_t* mel = (const uint16_t*)(s->base + e[2]);
+    int64_t tl = std::min<int64_t>((int64_t)e[1], text_cap);
+    int64_t ml = std::min<int64_t>((int64_t)e[3], mel_cap);
+    int32_t* tdst = text_out + (int64_t)b * text_cap;
+    memcpy(tdst, ids, sizeof(int32_t) * tl);
+    memset(tdst + tl, 0, sizeof(int32_t) * (text_cap - tl));
+    float* mdst = mel_out + (int64_t)b * mel_cap * d;
+    for (int64_t t = 0; t < ml * d; ++t) mdst[t] = f16_to_f32(mel[t]);
+    memset(mdst + ml * d, 0, sizeof(float) * (mel_cap - ml) * d);
+    tlen_out[b] = (int32_t)tl;
+    mlen_out[b] = (int32_t)ml;
+  }
+}
+
 }  // extern "C"

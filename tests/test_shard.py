@@ -1,0 +1,111 @@
+"""Packed dataset shards (data/shard.py + native shard reader) — data-
+pipeline addition over the reference's per-utterance .npy files
+(src/prepare_data.py:10-46)."""
+
+import numpy as np
+import pytest
+
+from unast_tpu import native
+from unast_tpu.data.batching import BatchIterator, collate
+from unast_tpu.data.dataset import SyntheticSpeechDataset
+from unast_tpu.data.shard import PackedShardDataset, write_shard
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    ds = SyntheticSpeechDataset(size=6, seed=0)
+    path = str(tmp_path_factory.mktemp("shard") / "corpus.unsh")
+    write_shard((ds[i] for i in range(len(ds))), path)
+    return ds, PackedShardDataset(path)
+
+
+def test_roundtrip_items_exact(shard):
+    ds, ps = shard
+    assert len(ps) == len(ds)
+    for i in range(len(ds)):
+        a, b = ds[i], ps[i]
+        np.testing.assert_array_equal(a["ids"], b["ids"])
+        # mel stored f16: equality after the same rounding
+        np.testing.assert_array_equal(
+            a["mel"].astype(np.float16).astype(np.float32), b["mel"])
+
+
+def test_lens_match_index(shard):
+    ds, ps = shard
+    tl, ml = ps.lens(list(range(len(ps))))
+    for i in range(len(ds)):
+        assert tl[i] == len(ds[i]["ids"])
+        assert ml[i] == len(ds[i]["mel"])
+
+
+def test_collate_matches_python_collate(shard):
+    ds, ps = shard
+    idx = [3, 0, 5, 5]
+    got = ps.collate_batch(idx, text_cap=20, mel_cap=64)
+    items = [{"ids": ps[i]["ids"], "mel": ps[i]["mel"]} for i in idx]
+    want = collate(items, 20, 64)
+    np.testing.assert_array_equal(got["text"], want["text"])
+    np.testing.assert_array_equal(got["mel"], want["mel"])
+    np.testing.assert_array_equal(got["text_len"], want["text_len"])
+    np.testing.assert_array_equal(got["mel_len"], want["mel_len"])
+
+
+def test_native_collate_matches_numpy_fallback(shard):
+    _, ps = shard
+    if ps._h is None:
+        pytest.skip("native lib unavailable")
+    idx = [1, 4, 2]
+    got = ps.collate_batch(idx, text_cap=24, mel_cap=48)
+    h = ps._h
+    try:
+        ps._h = None  # force the numpy fallback
+        want = ps.collate_batch(idx, text_cap=24, mel_cap=48)
+    finally:
+        ps._h = h
+    for k in ("text", "mel", "text_len", "mel_len"):
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_truncation_clamps_lengths(shard):
+    _, ps = shard
+    tl, ml = ps.lens([0])
+    got = ps.collate_batch([0], text_cap=3, mel_cap=5)
+    assert got["text"].shape == (1, 3) and got["mel"].shape == (1, 5, 80)
+    assert got["text_len"][0] == min(3, tl[0])
+    assert got["mel_len"][0] == min(5, ml[0])
+
+
+def test_batch_iterator_fast_path(shard):
+    ds, ps = shard
+    it_fast = BatchIterator(ps, 4, 20, 64, seed=7)
+    it_ref = BatchIterator(ds, 4, 20, 64, seed=7)
+    a = it_fast.next_batch()
+    b = it_ref.next_batch()
+    # same seed -> same index order -> identical batches (mod f16)
+    np.testing.assert_array_equal(a["text"], b["text"])
+    np.testing.assert_array_equal(
+        a["mel"], b["mel"].astype(np.float16).astype(np.float32))
+    sa = it_fast.next_stacked(2)
+    sb = it_ref.next_stacked(2)
+    np.testing.assert_array_equal(sa[0], sb[0])
+    np.testing.assert_array_equal(
+        sa[1], sb[1].astype(np.float16).astype(np.float32))
+    np.testing.assert_array_equal(sa[2], sb[2])
+    np.testing.assert_array_equal(sa[3], sb[3])
+
+
+def test_f16_conversion_specials(tmp_path):
+    """The C f16->f32 covers normals, subnormals, zeros, and big values."""
+    vals = np.array([[0.0, 1.0, -1.0, 0.5004883, 6.1e-5, 5.96e-8,
+                      65504.0, -3.14159, 2e-6, 1e-7] * 8], np.float32)
+    items = [{"ids": np.array([5], np.int32),
+              "mel": np.tile(vals.T, (1, 80))[:10]}]
+    path = str(tmp_path / "s.unsh")
+    write_shard(items, path)
+    ps = PackedShardDataset(path)
+    if ps._h is None:
+        pytest.skip("native lib unavailable")
+    got = ps.collate_batch([0], 1, 10)
+    want = np.tile(vals.T, (1, 80))[:10].astype(np.float16
+                                                ).astype(np.float32)
+    np.testing.assert_array_equal(got["mel"][0], want)

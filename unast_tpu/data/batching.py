@@ -88,8 +88,8 @@ class BatchIterator:
                 return min(b, cap)
         return cap
 
-    def _next_items(self):
-        """Always returns exactly batch_size items; datasets smaller than a
+    def _next_indices(self):
+        """Exactly batch_size dataset indices; datasets smaller than a
         batch wrap around (reshuffled per pass) so fixed shapes hold."""
         idx = []
         while len(idx) < self.bs:
@@ -100,7 +100,10 @@ class BatchIterator:
             take = min(self.bs - len(idx), len(self._order) - self._pos)
             idx.extend(self._order[self._pos:self._pos + take])
             self._pos += take
-        return [self.ds[int(i)] for i in idx]
+        return idx
+
+    def _next_items(self):
+        return [self.ds[int(i)] for i in self._next_indices()]
 
     def _shapes_for(self, items):
         tl, ml = self.text_len, self.mel_len
@@ -113,6 +116,20 @@ class BatchIterator:
         return tl, ml
 
     def next_batch(self):
+        if hasattr(self.ds, "collate_batch") and not self.include_mag:
+            # packed-shard fast path (data/shard.py): lengths from the
+            # index, whole batch assembled in one native call
+            idx = self._next_indices()
+            tl, ml = self.text_len, self.mel_len
+            if self.text_buckets or self.mel_buckets:
+                tls, mls = self.ds.lens(idx)
+                if self.text_buckets:
+                    tl = self._pick_bucket(self.text_buckets,
+                                           int(tls.max()), self.text_len)
+                if self.mel_buckets:
+                    ml = self._pick_bucket(self.mel_buckets,
+                                           int(mls.max()), self.mel_len)
+            return self.ds.collate_batch(idx, tl, ml)
         items = self._next_items()
         tl, ml = self._shapes_for(items)
         return collate(items, tl, ml, n_mels=self.n_mels,
@@ -122,6 +139,24 @@ class BatchIterator:
         """Stack n micro-batches along a new leading axis — the layout the
         jitted accumulated train step scans over. All micro-batches are
         padded to the largest bucket among them."""
+        if hasattr(self.ds, "collate_batch") and not self.include_mag:
+            idx_lists = [self._next_indices() for _ in range(n)]
+            tl, ml = self.text_len, self.mel_len
+            if self.text_buckets or self.mel_buckets:
+                t_need = m_need = 0
+                for idx in idx_lists:
+                    tls, mls = self.ds.lens(idx)
+                    t_need = max(t_need, int(tls.max()))
+                    m_need = max(m_need, int(mls.max()))
+                if self.text_buckets:
+                    tl = self._pick_bucket(self.text_buckets, t_need,
+                                           self.text_len)
+                if self.mel_buckets:
+                    ml = self._pick_bucket(self.mel_buckets, m_need,
+                                           self.mel_len)
+            bs = [self.ds.collate_batch(idx, tl, ml) for idx in idx_lists]
+            return tuple(np.stack([as_tuple(b)[j] for b in bs])
+                         for j in range(4))
         item_lists = [self._next_items() for _ in range(n)]
         tl = ml = 0
         for items in item_lists:

@@ -1,0 +1,148 @@
+"""Packed dataset shards: the whole corpus in ONE mmap-able binary file.
+
+Production data-pipeline addition over the reference, which materializes
+one .npy pair per utterance (src/prepare_data.py:10-46 — 13k+ small files
+whose per-item open/parse cost sits on the training hot path). A packed
+shard gives zero-copy reads through one mmap and a single-call native
+batch collate (native/unast_native.cpp::shard_collate — pad/truncate +
+f16->f32 in C), with a pure-numpy fallback when the toolchain is absent.
+
+Format v1 (little-endian), shared with the C reader:
+    0:  magic b"UNSH" | u32 version=1 | u64 n_items | u32 n_mels | u32 pad
+    24: index, n_items x 4 u64: text_off, text_count, mel_off, mel_frames
+        (absolute byte offsets; text = int32 tokens, mel = float16 frames)
+    payload
+
+Mels are stored float16: the DSP's log-compressed, [0,1]-normalized mels
+(src/utils.py:235-278 semantics) lose nothing material at f16 (the
+training path casts to bf16 anyway), and the corpus file halves.
+
+Write:  python -m unast_tpu.data.shard --out corpus.unsh [--synthetic ...]
+Read:   PackedShardDataset("corpus.unsh") — drop-in for LJSpeechDataset
+        in BatchIterator; the iterator detects `collate_batch` and
+        assembles batches in one native call.
+"""
+
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+MAGIC = b"UNSH"
+VERSION = 1
+HEADER = struct.Struct("<4sIQII")  # magic, version, n_items, n_mels, pad
+
+
+def write_shard(items, path: str, n_mels: int = 80):
+    """items: iterable of dicts with 'ids' (int32 [T]) and 'mel'
+    (float [F, n_mels]) — any dataset object works. Writes `path`."""
+    seq = [(np.ascontiguousarray(it["ids"], np.int32),
+            np.ascontiguousarray(it["mel"], np.float16)) for it in items]
+    n = len(seq)
+    index = np.zeros((n, 4), np.uint64)
+    off = HEADER.size + index.nbytes
+    for i, (ids, mel) in enumerate(seq):
+        assert mel.ndim == 2 and mel.shape[1] == n_mels, mel.shape
+        index[i] = (off, len(ids), off + ids.nbytes, mel.shape[0])
+        off += ids.nbytes + mel.nbytes
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(HEADER.pack(MAGIC, VERSION, n, n_mels, 0))
+        f.write(index.tobytes())
+        for ids, mel in seq:
+            f.write(ids.tobytes())
+            f.write(mel.tobytes())
+    os.replace(tmp, path)
+    return path
+
+
+class PackedShardDataset:
+    """Reads a packed shard. Item access returns the standard
+    {'ids', 'mel', 'fname'} dict (mel float32); `collate_batch` assembles a
+    whole fixed-shape batch in one native call (numpy-memmap fallback)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            magic, version, n, n_mels, _ = HEADER.unpack(
+                f.read(HEADER.size))
+        if magic != MAGIC or version != VERSION:
+            raise ValueError(f"{path}: not a v{VERSION} UNSH shard")
+        self.n_mels = int(n_mels)
+        self._n = int(n)
+        self._mm = np.memmap(path, np.uint8, mode="r")
+        self._index = np.frombuffer(
+            self._mm[HEADER.size:HEADER.size + n * 32], np.uint64
+        ).reshape(self._n, 4)
+        from .. import native
+        self._h = native.shard_open(path)  # None -> numpy fallback
+
+    def __len__(self):
+        return self._n
+
+    def lens(self, idx):
+        """(text_lens, mel_frames) int32 arrays for `idx` (no payload IO)."""
+        e = self._index[np.asarray(idx, np.int64)]
+        return e[:, 1].astype(np.int32), e[:, 3].astype(np.int32)
+
+    def __getitem__(self, i: int):
+        off, tn, moff, mf = (int(v) for v in self._index[i])
+        ids = np.frombuffer(self._mm[off:off + 4 * tn], np.int32)
+        mel = np.frombuffer(
+            self._mm[moff:moff + 2 * mf * self.n_mels], np.float16
+        ).reshape(mf, self.n_mels).astype(np.float32)
+        return {"ids": ids, "mel": mel, "fname": f"SHARD-{i:06d}"}
+
+    def collate_batch(self, idx, text_cap: int, mel_cap: int):
+        """One fixed-shape batch {'text','mel','text_len','mel_len',
+        'fnames'} — native single call, matching batching.collate."""
+        from .. import native
+        idx = np.ascontiguousarray(idx, np.int64)
+        b = len(idx)
+        out = native.shard_collate(self._h, idx, text_cap, mel_cap,
+                                   self.n_mels) if self._h else None
+        if out is None:
+            text = np.zeros((b, text_cap), np.int32)
+            mel = np.zeros((b, mel_cap, self.n_mels), np.float32)
+            tl = np.zeros((b,), np.int32)
+            ml = np.zeros((b,), np.int32)
+            for j, i in enumerate(idx):
+                it = self[int(i)]
+                t = min(len(it["ids"]), text_cap)
+                m = min(len(it["mel"]), mel_cap)
+                text[j, :t] = it["ids"][:t]
+                mel[j, :m] = it["mel"][:m]
+                tl[j], ml[j] = t, m
+            out = (text, mel, tl, ml)
+        text, mel, tl, ml = out
+        return {"text": text, "mel": mel, "text_len": tl, "mel_len": ml,
+                "fnames": [f"SHARD-{int(i):06d}" for i in idx]}
+
+
+def main(argv: Optional[list] = None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--data_path", default=None,
+                    help="LJSpeech cache dir (data/prepare.py output); "
+                         "omit for --synthetic")
+    ap.add_argument("--split", default="labeled_train")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--synthetic_size", type=int, default=64)
+    args = ap.parse_args(argv)
+    if args.synthetic or not args.data_path:
+        from .dataset import SyntheticSpeechDataset
+        ds = SyntheticSpeechDataset(size=args.synthetic_size, seed=0)
+    else:
+        from .dataset import LJSpeechDataset
+        ds = LJSpeechDataset(args.data_path, args.split)
+    write_shard((ds[i] for i in range(len(ds))), args.out)
+    got = PackedShardDataset(args.out)
+    print(f"wrote {args.out}: {len(got)} items, "
+          f"{os.path.getsize(args.out) / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()

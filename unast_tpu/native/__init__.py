@@ -53,6 +53,18 @@ def _load():
     lib.trim_silence_bounds.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_double, c_i64p]
     lib.preemphasis.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_float, c_f32p]
+    lib.shard_open.restype = ctypes.c_void_p
+    lib.shard_open.argtypes = [ctypes.c_char_p]
+    lib.shard_close.argtypes = [ctypes.c_void_p]
+    lib.shard_len.restype = ctypes.c_int64
+    lib.shard_len.argtypes = [ctypes.c_void_p]
+    lib.shard_n_mels.restype = ctypes.c_int32
+    lib.shard_n_mels.argtypes = [ctypes.c_void_p]
+    lib.shard_lens.argtypes = [ctypes.c_void_p, c_i64p, ctypes.c_int,
+                               c_i32p, c_i32p]
+    lib.shard_collate.argtypes = [ctypes.c_void_p, c_i64p, ctypes.c_int,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  c_i32p, c_f32p, c_i32p, c_i32p]
     _lib = lib
     return lib
 
@@ -124,6 +136,44 @@ def trim_silence(y: np.ndarray, frame_length: int = 2048, hop: int = 512,
         bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     s, e = int(bounds[0]), int(bounds[1])
     return y[s:e], (s, e)
+
+
+def shard_open(path: str):
+    """mmap a packed dataset shard (data/shard.py format). Returns an
+    opaque handle for shard_collate, or None (fallback to numpy reads)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.shard_open(path.encode())
+    return h or None
+
+
+def shard_close(h):
+    lib = _load()
+    if lib is not None and h:
+        lib.shard_close(h)
+
+
+def shard_collate(h, idx: np.ndarray, text_cap: int, mel_cap: int,
+                  n_mels: int):
+    """Native single-call batch assembly from a shard handle: returns
+    (text [B,Tc] i32, mel [B,Mc,n_mels] f32, text_len, mel_len) padded/
+    truncated exactly like data/batching.py::collate."""
+    lib = _load()
+    if lib is None or not h:
+        return None
+    idx = np.ascontiguousarray(idx, np.int64)
+    b = len(idx)
+    text = np.empty((b, text_cap), np.int32)
+    mel = np.empty((b, mel_cap, n_mels), np.float32)
+    tl = np.empty((b,), np.int32)
+    ml = np.empty((b,), np.int32)
+    lib.shard_collate(
+        h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+        text_cap, mel_cap, _i32p(text),
+        mel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _i32p(tl), _i32p(ml))
+    return text, mel, tl, ml
 
 
 def preemphasis(y: np.ndarray, coef: float = 0.97) -> np.ndarray:
