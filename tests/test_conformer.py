@@ -138,3 +138,37 @@ def test_conformer_train_step():
     m0 = ts.net_state["speech_m"]["encoder"]["layers"][0]["bn"]["mean"]
     m1 = ts2.net_state["speech_m"]["encoder"]["layers"][0]["bn"]["mean"]
     assert not np.allclose(np.asarray(m0), np.asarray(m1))
+
+
+def test_conformer_tp_sharded_step():
+    """The extended mesh rule (conv_pw1/conv_pw2 column/row splits) admits
+    a tp-sharded conformer train step with finite metrics and the pointwise
+    conv weights actually split over 'tp'."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.parallel import batch_shardings, make_mesh, shard_train_step
+    from unast_tpu.train.config import model_config_from_args
+    from unast_tpu.train.steps import init_train_state, make_train_step
+
+    args, _ = g._tiny_cfg_args()
+    args.speech_encoder = "conformer"
+    args.conformer_kernel = 7
+    args.ae_steps, args.cm_steps, args.sp_steps, args.d_steps = 0, 0, 1, 0
+    args.use_discriminator = False
+    args.train_batch_size = 4
+    cfg = model_config_from_args(args)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    ds = SyntheticSpeechDataset(size=4, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, use_discriminator=False))
+    mesh = make_mesh(2, 2)  # dp2 x tp2
+    step, ts_sh = shard_train_step(make_train_step(cfg, args), mesh, ts,
+                                   batches)
+    pw1 = ts_sh.params["speech_m"]["encoder"]["layers"][0]["conv_pw1"]["w"]
+    assert "tp" in tuple(pw1.sharding.spec), pw1.sharding
+    b_sh = jax.device_put(batches, batch_shardings(mesh, batches))
+    _, metrics = step(ts_sh, jax.random.PRNGKey(1), b_sh)
+    vals = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
