@@ -165,3 +165,19 @@ def test_synthesizer_nar_path():
         assert m.ndim == 2 and m.shape[1] == cfg.num_mels
         assert m.shape[0] >= 1
         assert np.isfinite(m).all()
+
+
+def test_speed_control_scales_durations():
+    """speed > 1 shortens the regulated output proportionally."""
+    cfg = TINY
+    p, s = F.fastspeech_init(jax.random.PRNGKey(0), cfg)
+    p["dur"]["fc"]["b"] = p["dur"]["fc"]["b"] + 2.0  # ~6 frames/token
+    text = jnp.array([[5, 6, 7, 8]], jnp.int32)
+    text_len = jnp.array([4])
+    (_, _, lens1, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, max_len=64)
+    (_, _, lens2, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, max_len=64, speed=2.0)
+    n1, n2 = int(lens1[0]), int(lens2[0])
+    assert n1 > 0 and 0 < n2 < n1
+    assert abs(n2 - n1 / 2) <= 4  # per-token rounding slack

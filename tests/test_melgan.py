@@ -79,3 +79,69 @@ def test_vocoder_step_learns():
             first = vals
         last = vals
     assert last["voc/stft"] < 0.8 * first["voc/stft"], (first, last)
+
+
+def test_synthesizer_melgan_wav_path():
+    """Synthesizer(melgan_params=...) produces waveforms via the neural
+    vocoder (combined with the NAR mel path: the full one-pass pipeline)."""
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import fastspeech as F
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import TINY
+
+    cfg = TINY
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    n_params, n_state = F.fastspeech_init(jax.random.PRNGKey(1), cfg)
+    n_params["dur"]["fc"]["b"] = n_params["dur"]["fc"]["b"] + 2.0
+    mg = G.melgan_init(jax.random.PRNGKey(2), base=32)
+    syn = Synthesizer(a_params, a_state, cfg, text_buckets=(16,),
+                      mel_buckets=(cfg.max_mel_len,), max_batch=2,
+                      nar_pv=(n_params, n_state), melgan_params=mg)
+    wavs = syn.tts(["hello", "cat"])
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all()
+
+
+def test_discriminator_multiscale_shapes():
+    p = G.discriminator_init(jax.random.PRNGKey(0))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, 4400))
+    outs = G.discriminator_forward(p, wav)
+    assert len(outs) == 3
+    t_prev = None
+    for feats, logits in outs:
+        assert len(feats) == 5
+        assert logits.shape[0] == 2 and logits.shape[2] == 1
+        if t_prev is not None:  # each scale sees a 2x shorter signal
+            assert logits.shape[1] <= t_prev
+        t_prev = logits.shape[1]
+        for f in feats:
+            assert np.isfinite(np.asarray(f)).all()
+
+
+def test_adversarial_step_trains_both_players():
+    """One jitted hinge-GAN step: finite losses, generator AND
+    discriminator move; repeated steps stay finite."""
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.melgan import (init_adv_state, init_voc_state,
+                                        make_adversarial_step)
+
+    class A:
+        lr = 1e-4
+        melgan_base = 32
+
+    ds = SyntheticSpeechDataset(size=1, seed=0)
+    mel, wav = crop_batch(ds, np.random.default_rng(1), 2, 8, P.hop_length)
+    vs = init_voc_state(jax.random.PRNGKey(0), A())
+    ats = init_adv_state(jax.random.PRNGKey(1), vs, A())
+    step = jax.jit(make_adversarial_step(A()), donate_argnums=(0,))
+    g0 = np.asarray(jax.tree_util.tree_leaves(ats.gen)[0]).copy()
+    d0 = np.asarray(jax.tree_util.tree_leaves(ats.disc)[0]).copy()
+    mel_j, wav_j = jnp.asarray(mel), jnp.asarray(wav)
+    for _ in range(3):
+        ats, m = step(ats, mel_j, wav_j)
+        vals = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+    assert not np.allclose(g0, np.asarray(jax.tree_util.tree_leaves(ats.gen)[0]))
+    assert not np.allclose(d0, np.asarray(jax.tree_util.tree_leaves(ats.disc)[0]))
+    assert vals["adv/fm"] > 0.0

@@ -93,3 +93,31 @@ def test_zero3_step_matches_replicated():
             ref_ts.params["speech_m"]["postnet"]["mel_proj"]["w"])
         w_z = np.asarray(z_ts.params["speech_m"]["postnet"]["mel_proj"]["w"])
         np.testing.assert_allclose(w_z, w_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_zero_sharded_state_checkpoints(tmp_path):
+    """save_ckp/load_ckp round-trips a dp-sharded (zero=3) TrainState:
+    preemption-safe FSDP training needs sharded-array checkpointing."""
+    import shutil
+
+    from unast_tpu.train.checkpoint import load_ckp, save_ckp
+
+    args, cfg, ts, batches = _setup()
+    mesh = make_mesh(8)
+    step_fn = make_train_step(cfg, args)
+    z_step, ts_sh = shard_train_step(step_fn, mesh, ts, batches, zero=3)
+    b_sh = jax.device_put(batches, batch_shardings(mesh, batches))
+    z_ts, _ = z_step(ts_sh, jax.random.PRNGKey(1), b_sh)
+
+    path = str(tmp_path / "zckpt")
+    shutil.rmtree(path, ignore_errors=True)
+    save_ckp(0, 1.0, z_ts, False, path)
+
+    template = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    _, _, restored, _ = load_ckp(path + "/model_most_recent.ckpt", template)
+    for a, b in zip(jax.tree_util.tree_leaves(z_ts.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(z_ts.gen_opt),
+                    jax.tree_util.tree_leaves(restored.gen_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

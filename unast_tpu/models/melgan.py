@@ -99,3 +99,59 @@ def melgan_forward(p, mel, rates=(5, 5, 11), dilations=(1, 3, 9)):
 def num_params(p) -> int:
     return sum(int(math.prod(l.shape))
                for l in jax.tree_util.tree_leaves(p))
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale waveform discriminator (MelGAN §2.2): the same conv stack
+# applied to the raw wav and to 2x / 4x average-pooled versions, each
+# emitting per-window logits plus intermediate features for the
+# feature-matching loss. Used only by the optional adversarial fine-tune
+# (train/melgan.py --melgan_adv_steps); the generator alone trains with
+# the multi-res STFT loss.
+# ---------------------------------------------------------------------------
+
+_D_LAYERS = ((15, 1, 16, 1), (41, 16, 64, 4), (41, 64, 256, 4),
+             (41, 256, 256, 4), (5, 256, 256, 1))  # (k, c_in, c_out, stride)
+
+
+def _strided_conv(p, x, stride: int):
+    k = p["w"].shape[0]
+    pad = (k // 2, k - 1 - k // 2)
+    y = jax.lax.conv_general_dilated(
+        x, nn.weight(p, x.dtype), window_strides=(stride,), padding=[pad],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y + p["b"].astype(x.dtype)
+
+
+def discriminator_init(key, scales: int = 3):
+    ks = jax.random.split(key, scales)
+    out = []
+    for sk in ks:
+        lks = jax.random.split(sk, len(_D_LAYERS) + 1)
+        layers = [_conv_init(lk, c_in, c_out, k)
+                  for lk, (k, c_in, c_out, _) in zip(lks, _D_LAYERS)]
+        layers.append(_conv_init(lks[-1], _D_LAYERS[-1][2], 1, 3))
+        out.append(layers)
+    return out
+
+
+def _avgpool2(x):
+    n = x.shape[1] - x.shape[1] % 2
+    return x[:, :n].reshape(x.shape[0], n // 2, 2, x.shape[2]).mean(axis=2)
+
+
+def discriminator_forward(p, wav):
+    """wav [B, n] -> list over scales of (features list, logits [B, T', 1]).
+    Each scale sees a 2x further average-pooled signal."""
+    x = wav[..., None]
+    outs = []
+    for scale in p:
+        h = x
+        feats = []
+        for lp, (_, _, _, stride) in zip(scale[:-1], _D_LAYERS):
+            h = jax.nn.leaky_relu(_strided_conv(lp, h, stride), LEAK)
+            feats.append(h)
+        logits = _strided_conv(scale[-1], h, 1)
+        outs.append((feats, logits))
+        x = _avgpool2(x)
+    return outs

@@ -186,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="mel-frame crop length for neural-vocoder training")
     add("--melgan_base", type=int, default=256,
         help="neural-vocoder generator base channel width")
+    add("--melgan_adv_steps", type=int, default=0,
+        help="hinge-GAN + feature-matching fine-tune steps after the "
+             "STFT pretraining phase (0 = STFT-only, the default)")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,

@@ -95,6 +95,74 @@ def make_vocoder_step(args, wav_l1_weight: float = 1.0):
     return step
 
 
+class AdvTrainState(NamedTuple):
+    gen: dict
+    gen_opt: object
+    disc: list
+    disc_opt: object
+    step: jnp.ndarray
+
+
+def init_adv_state(key, vs: VocTrainState, args) -> AdvTrainState:
+    """Continue from an STFT-pretrained generator (MelGAN recipe: the
+    adversarial phase fine-tunes, it does not train from scratch here)."""
+    disc = G.discriminator_init(key)
+    lr = float(getattr(args, "lr", 1e-4) or 1e-4)
+    g_tx, d_tx = optax.adamw(lr), optax.adamw(lr)
+    return AdvTrainState(vs.params, g_tx.init(vs.params), disc,
+                         d_tx.init(disc), jnp.zeros((), jnp.int32))
+
+
+def make_adversarial_step(args, fm_weight: float = 10.0,
+                          stft_weight: float = 1.0):
+    """Hinge-GAN fine-tune step (MelGAN objective + the multi-res STFT
+    term kept as a stabilizer, Parallel-WaveGAN style): updates the
+    discriminator on (real, stopgrad(fake)), then the generator against
+    the updated discriminator — both inside ONE jitted call."""
+    lr = float(getattr(args, "lr", 1e-4) or 1e-4)
+    g_tx, d_tx = optax.adamw(lr), optax.adamw(lr)
+
+    def step(ts: AdvTrainState, mel, wav):
+        fake = G.melgan_forward(ts.gen, mel)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(disc):
+            loss = 0.0
+            for (_, lr_), (_, lf) in zip(G.discriminator_forward(disc, wav),
+                                         G.discriminator_forward(disc,
+                                                                 fake_sg)):
+                loss += (jnp.mean(jax.nn.relu(1.0 - lr_))
+                         + jnp.mean(jax.nn.relu(1.0 + lf)))
+            return loss
+
+        d_grads = jax.grad(d_loss_fn)(ts.disc)
+        d_up, d_opt = d_tx.update(d_grads, ts.disc_opt, ts.disc)
+        disc = optax.apply_updates(ts.disc, d_up)
+
+        def g_loss_fn(gen):
+            pred = G.melgan_forward(gen, mel)
+            stft, sc = mr_stft_loss(pred, wav)
+            adv = 0.0
+            fm = 0.0
+            real_outs = G.discriminator_forward(disc, wav)
+            fake_outs = G.discriminator_forward(disc, pred)
+            for (fr, _), (ff, lf) in zip(real_outs, fake_outs):
+                adv += -jnp.mean(lf)
+                for a, b in zip(fr, ff):
+                    fm += jnp.mean(jnp.abs(jax.lax.stop_gradient(a) - b))
+            loss = stft_weight * stft + adv + fm_weight * fm
+            return loss, {"adv/g": adv, "adv/fm": fm, "voc/stft": stft,
+                          "voc/sc": sc}
+
+        g_grads, metrics = jax.grad(g_loss_fn, has_aux=True)(ts.gen)
+        g_up, g_opt = g_tx.update(g_grads, ts.gen_opt, ts.gen)
+        gen = optax.apply_updates(ts.gen, g_up)
+        metrics["adv/d"] = d_loss_fn(disc)
+        return AdvTrainState(gen, g_opt, disc, d_opt, ts.step + 1), metrics
+
+    return step
+
+
 def crop_batch(ds, rng: np.random.Generator, batch: int, frames: int,
                hop: int):
     """Random aligned (mel [B, F, 80], wav [B, F*hop]) crops from dataset
@@ -142,6 +210,21 @@ def main(argv=None):
         if (i + 1) % 100 == 0:
             print(f"step {i + 1}: " + " ".join(
                 f"{k} {float(v):.4f}" for k, v in sorted(m.items())))
+
+    adv_steps = int(getattr(args, "melgan_adv_steps", 0) or 0)
+    if adv_steps > 0:
+        # MelGAN recipe: hinge-GAN + feature-matching fine-tune on top of
+        # the STFT-pretrained generator.
+        ats = init_adv_state(jax.random.PRNGKey(1), vs, args)
+        a_step = jax.jit(make_adversarial_step(args), donate_argnums=(0,))
+        for i in range(adv_steps):
+            mel, wav = crop_batch(ds, rng, bs, frames, P.hop_length)
+            ats, m = a_step(ats, jnp.asarray(mel), jnp.asarray(wav))
+            if (i + 1) % 100 == 0:
+                print(f"adv step {i + 1}: " + " ".join(
+                    f"{k} {float(v):.4f}" for k, v in sorted(m.items())))
+        vs = VocTrainState(ats.gen, vs.opt, ats.step)
+
     if args.checkpoint_path:
         save_ckp(0, float(m["voc/sc"]), vs, True, args.checkpoint_path)
     return vs
