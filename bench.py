@@ -233,6 +233,65 @@ def bench_serve_nar(n_batches=4, max_batch=32):
             "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
 
 
+def bench_ctc(b=1):
+    """One-pass CTC ASR (models/ctc.py) vs the AR KV-cached greedy text
+    decode at the same flagship scale over a FULL 815-frame utterance.
+    Also reports a batch-32 throughput (the batch-1 number is tunnel-
+    latency-bound)."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu import nn
+    from unast_tpu.models import ctc as C
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import ModelConfig
+    from unast_tpu.audio.params import DEFAULT as P
+
+    cfg = ModelConfig()
+    mel = jax.random.uniform(jax.random.PRNGKey(0),
+                             (b, cfg.max_mel_len + 1, 80))
+    mel_len = jnp.full((b,), cfg.max_mel_len + 1, jnp.int32)
+
+    c_params, c_state = C.ctc_asr_init(jax.random.PRNGKey(1), cfg)
+
+    @jax.jit
+    def ctc(params, state, mel, mel_len):
+        (ids, lens), _ = C.ctc_asr_infer(params, state, nn.Ctx.eval(),
+                                         cfg, mel, mel_len)
+        return ids, lens
+
+    dt_ctc = _time(lambda: int(ctc(c_params, c_state, mel, mel_len)
+                               [0][0, 0]), iters=5, warmup=2)
+
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def ar(params, state, mel, mel_len):
+        (ids, lens), _ = U.asr(params, state, nn.Ctx.eval(), cfg,
+                               None, None, mel, mel_len, infer=True)
+        return ids
+
+    dt_ar = _time(lambda: int(ar(a_params, a_state, mel, mel_len)[0, 0]),
+                  iters=3, warmup=2)
+
+    bb = 32
+    mel_b = jax.random.uniform(jax.random.PRNGKey(2),
+                               (bb, cfg.max_mel_len + 1, 80))
+    len_b = jnp.full((bb,), cfg.max_mel_len + 1, jnp.int32)
+    dt_b = _time(lambda: int(ctc(c_params, c_state, mel_b, len_b)[0][0, 0]),
+                 iters=5, warmup=2)
+
+    audio_s = cfg.max_mel_len * P.hop_length / P.sr
+    rtf = dt_ctc / audio_s
+    return {"metric": "ctc_asr_rtf", "value": round(rtf, 5),
+            "unit": f"x realtime (815-frame one-pass; AR greedy = "
+                    f"{dt_ar / audio_s:.4f}; batch-{bb} = "
+                    f"{dt_b / (bb * audio_s):.6f} RTF, {bb / dt_b:.0f} "
+                    f"utt/s)",
+            "vs_baseline": round(dt_ar / dt_ctc, 2),
+            "ctc_s": round(dt_ctc, 4), "ar_s": round(dt_ar, 4),
+            "ctc_batch32_s": round(dt_b, 4)}
+
+
 def bench_vocoder(batch=16, frames=816):
     """CBHG vocoder (mel->magnitude, src/train_vocoder.py scale: conv bank
     K16 + highway + bidirectional GRU) inference RTF on device. The GRU is
@@ -795,7 +854,7 @@ def main():
                     choices=["wav_to_mel", "griffin_lim", "tts", "asr",
                              "train", "attention", "mfu", "serve",
                              "vocoder", "moe", "quant", "reduction", "nar",
-                             "melgan", "data", "serve_nar"])
+                             "melgan", "data", "serve_nar", "ctc"])
     args = ap.parse_args()
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
@@ -810,7 +869,8 @@ def main():
           "vocoder": bench_vocoder, "moe": bench_moe,
           "quant": bench_quant, "reduction": bench_reduction,
           "nar": bench_nar, "melgan": bench_melgan,
-          "data": bench_data, "serve_nar": bench_serve_nar}[args.which]
+          "data": bench_data, "serve_nar": bench_serve_nar,
+          "ctc": bench_ctc}[args.which]
     print(json.dumps(fn()))
 
 

@@ -1,0 +1,84 @@
+"""CTC non-autoregressive ASR (models/ctc.py, train/ctc.py) — model-family
+addition over the reference (AR-only ASR decode, src/network.py:440-458)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unast_tpu import nn
+from unast_tpu.models import ctc as C
+from unast_tpu.models.config import TINY, VOCAB_SIZE
+
+
+def test_greedy_decode_collapses_and_drops_blanks():
+    # frames: a a blank a b b blank blank -> "a a b" (repeat across blank
+    # is kept, adjacent repeats collapse)
+    b_id = C.BLANK_ID
+    seq = [5, 5, b_id, 5, 7, 7, b_id, b_id]
+    logits = np.full((1, len(seq), VOCAB_SIZE + 1), -10.0, np.float32)
+    for t, k in enumerate(seq):
+        logits[0, t, k] = 10.0
+    pad = np.zeros((1, len(seq)), bool)
+    ids, lens = C.ctc_greedy_decode(jnp.asarray(logits), jnp.asarray(pad),
+                                    max_text_len=6)
+    assert int(lens[0]) == 3
+    np.testing.assert_array_equal(np.asarray(ids[0, :3]), [5, 5, 7])
+    assert np.all(np.asarray(ids[0, 3:]) == 0)
+
+
+def test_greedy_decode_respects_pad_and_cap():
+    b_id = C.BLANK_ID
+    seq = [5, 6, 7, 8, 9]
+    logits = np.full((1, 5, VOCAB_SIZE + 1), -10.0, np.float32)
+    for t, k in enumerate(seq):
+        logits[0, t, k] = 10.0
+    pad = np.array([[False, False, False, True, True]])  # frames 3,4 PAD
+    ids, lens = C.ctc_greedy_decode(jnp.asarray(logits), jnp.asarray(pad),
+                                    max_text_len=2)
+    assert int(lens[0]) == 2  # 3 kept tokens clipped to the cap
+    np.testing.assert_array_equal(np.asarray(ids[0]), [5, 6])
+    assert b_id == VOCAB_SIZE
+
+
+def test_forward_shapes_both_encoders():
+    for enc in ("transformer", "conformer"):
+        cfg = TINY.replace(speech_encoder=enc, conformer_kernel=7)
+        p, s = C.ctc_asr_init(jax.random.PRNGKey(0), cfg)
+        assert "decoder" not in p and "postnet" not in p
+        mel = jnp.zeros((2, 12, cfg.num_mels))
+        lens = jnp.array([12, 7])
+        (ids, out_lens), _ = C.ctc_asr_infer(p, s, nn.Ctx.eval(), cfg,
+                                             mel, lens)
+        assert ids.shape == (2, cfg.max_text_len)
+        assert np.all(np.asarray(out_lens) <= cfg.max_text_len)
+
+
+def test_ctc_loss_decreases_and_grounds():
+    """~80 CPU steps on 2 fixed synthetic utterances: loss drops and
+    greedy PER improves from the untrained value."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchIterator
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.ctc import eval_per, init_ctc_state, make_ctc_step
+
+    args, cfg = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 2e-3
+    ds = SyntheticSpeechDataset(size=2, seed=0)
+    it = BatchIterator(ds, 2, args.data_text_len, args.data_mel_len, seed=3)
+    raw = it.next_batch()
+    batch = {k: jnp.asarray(raw[k])
+             for k in ("text", "text_len", "mel", "mel_len")}
+    ts = init_ctc_state(jax.random.PRNGKey(0), cfg, args)
+    per0 = eval_per(ts, cfg, raw)
+    step = jax.jit(make_ctc_step(cfg, args), donate_argnums=(0,))
+    first = last = None
+    for i in range(80):
+        ts, m = step(ts, jax.random.PRNGKey(10 + i), batch)
+        v = float(m["ctc/loss"])
+        assert np.isfinite(v), m
+        if first is None:
+            first = v
+        last = v
+    assert last < 0.5 * first, (first, last)
+    per1 = eval_per(ts, cfg, raw)
+    assert per1 < per0, (per0, per1)

@@ -1,0 +1,84 @@
+"""CTC non-autoregressive ASR: mel -> token posteriors in ONE forward pass
+(Graves et al., "Connectionist Temporal Classification", 2006).
+
+Model-family ADDITION over the reference, whose only ASR decode is the
+autoregressive text decoder run one token per step with no KV cache
+(src/network.py:440-458). Here the speech encoder (the same
+prenet + transformer/conformer stack as the AR model — cfg.speech_encoder
+applies) feeds a per-frame linear head over the 46 symbols + 1 blank;
+greedy CTC decode (argmax -> collapse repeats -> drop blanks) is a few
+vector ops on the same device pass. No sequential loop anywhere: the
+TPU-native serving shape for ASR, mirroring models/fastspeech.py for TTS.
+
+Training: optax.ctc_loss on gold transcripts (train/ctc.py). The blank id
+is VOCAB_SIZE (=46), outside the symbol table, so emitted ids need no
+remapping.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from . import modules as M
+from . import networks as N
+from .config import VOCAB_SIZE, ModelConfig
+
+BLANK_ID = VOCAB_SIZE  # 46 — one past the symbol table
+
+
+def ctc_asr_init(key, cfg: ModelConfig):
+    """Returns (params, state): the speech-side encoder tree (prenet +
+    encoder, exactly networks.speech_transformer_init's encoder half, so
+    cfg.speech_encoder='conformer' works unchanged) plus the CTC head."""
+    k_enc, k_head = jax.random.split(key)
+    enc_p, enc_s = N.speech_transformer_init(k_enc, cfg)
+    del enc_p["decoder"], enc_p["postnet"]
+    state = {k: v for k, v in enc_s.items() if k != "postnet"}
+    enc_p["ctc_head"] = nn.linear_init(k_head, cfg.e_in, VOCAB_SIZE + 1,
+                                       torch_default=True)
+    return enc_p, state
+
+
+def ctc_logits(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
+    """mel [B, T, n_mels] -> (logits f32 [B, T, V+1], frame_pad_mask
+    [B, T] True=PAD, new_state)."""
+    (memory, pad_mask), new_s = N.speech_tr_encode(p, s, ctx, cfg, mel,
+                                                   mel_len)
+    logits = nn.linear(p["ctc_head"], memory).astype(jnp.float32)
+    return logits, pad_mask, new_s
+
+
+def ctc_greedy_decode(logits, pad_mask, max_text_len: int):
+    """Greedy CTC: per-frame argmax -> collapse repeats -> drop blanks.
+    Static shapes: returns (ids [B, max_text_len] int32, lens [B]).
+    Tokens beyond max_text_len are dropped (caps match the AR decoder's
+    fixed decode buffers)."""
+    b, t = logits.shape[:2]
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
+    prev = jnp.concatenate([jnp.full((b, 1), -1, jnp.int32), tok[:, :-1]],
+                           axis=1)
+    keep = (tok != BLANK_ID) & (tok != prev) & ~pad_mask
+    # compact kept tokens to the left with a dump slot at max_text_len
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(keep & (pos < max_text_len), pos, max_text_len)
+    out = jnp.zeros((b, max_text_len + 1), jnp.int32)
+    out = out.at[jnp.arange(b)[:, None], dst].set(tok, mode="drop")
+    lens = jnp.minimum(jnp.sum(keep, axis=1), max_text_len)
+    return out[:, :max_text_len], lens
+
+
+def ctc_asr_infer(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
+    """One-pass greedy ASR. Returns ((ids, lens), new_state)."""
+    logits, pad_mask, new_s = ctc_logits(p, s, ctx, cfg, mel, mel_len)
+    ids, lens = ctc_greedy_decode(logits, pad_mask, cfg.max_text_len)
+    return (ids, lens), new_s
+
+
+def ctc_loss(logits, frame_pad_mask, labels, label_lens):
+    """Mean per-sequence CTC loss. labels: [B, N] gold ids (0=PAD)."""
+    label_pad = (~M.lens_to_mask(label_lens, labels.shape[1])
+                 ).astype(jnp.float32)
+    import optax
+    per_seq = optax.ctc_loss(logits, frame_pad_mask.astype(jnp.float32),
+                             labels, label_pad, blank_id=BLANK_ID)
+    return jnp.mean(per_seq)

@@ -189,6 +189,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--melgan_adv_steps", type=int, default=0,
         help="hinge-GAN + feature-matching fine-tune steps after the "
              "STFT pretraining phase (0 = STFT-only, the default)")
+    add("--ctc_steps", type=int, default=2000,
+        help="CTC ASR training steps (train/ctc.py CLI)")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,
