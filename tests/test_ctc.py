@@ -82,3 +82,25 @@ def test_ctc_loss_decreases_and_grounds():
     assert last < 0.5 * first, (first, last)
     per1 = eval_per(ts, cfg, raw)
     assert per1 < per0, (per0, per1)
+
+
+def test_synthesizer_ctc_asr_path():
+    """Synthesizer(ctc_pv=...) serves one-pass CTC ASR."""
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import unast as U
+
+    cfg = TINY
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    c_params, c_state = C.ctc_asr_init(jax.random.PRNGKey(1), cfg)
+    syn = Synthesizer(a_params, a_state, cfg, text_buckets=(16,),
+                      mel_buckets=(24,), max_batch=2,
+                      ctc_pv=(c_params, c_state))
+    mels = [np.random.default_rng(0).random((20, cfg.num_mels),
+                                            ).astype(np.float32),
+            np.random.default_rng(1).random((12, cfg.num_mels),
+                                            ).astype(np.float32)]
+    outs = syn.asr_ids(mels)
+    assert len(outs) == 2
+    for ids in outs:
+        assert ids.ndim == 1 and len(ids) <= cfg.max_text_len
+        assert np.all(ids < C.BLANK_ID)  # blanks never emitted

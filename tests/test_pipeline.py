@@ -520,3 +520,39 @@ def test_train_loop_ema():
         jax.tree_util.tree_leaves(ts.params["discriminator"])[0])
     d_ema = np.asarray(jax.tree_util.tree_leaves(ep["discriminator"])[0])
     np.testing.assert_array_equal(d_live, d_ema)
+
+
+def test_prepare_shard_out(tmp_path):
+    """prepare.py --shard_out packs the offline cache into one shard whose
+    items match the LJSpeechDataset view (mod f16 mel storage)."""
+    from unast_tpu.data import prepare
+    from unast_tpu.data.dataset import (LJSpeechDataset, synth_audio,
+                                        synth_sentence)
+    from unast_tpu.data.shard import PackedShardDataset
+    from unast_tpu.infer.synthesize import write_wav
+    from unast_tpu.text import raw_text_to_phoneme_ids
+
+    root = tmp_path / "LJMini"
+    (root / "wavs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        text = synth_sentence(rng, (2, 3))
+        ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
+        wav = synth_audio(ids, 22050, rng, phoneme_dur_s=0.05)
+        fid = f"MINI-{i:03d}"
+        write_wav(str(root / "wavs" / f"{fid}.wav"), wav)
+        rows.append(f"{fid}|{text}|{text}")
+    (root / "metadata.csv").write_text("\n".join(rows) + "\n")
+    cache = root / "mel_cache"
+    shard = root / "corpus.unsh"
+    prepare.main(["--data_path", str(root), "--cache_dir", str(cache),
+                  "--cpu", "--shard_out", str(shard)])
+    ps = PackedShardDataset(str(shard))
+    ds = LJSpeechDataset(str(root / "metadata.csv"), str(cache))
+    assert len(ps) == len(ds) == 4
+    for i in range(4):
+        np.testing.assert_array_equal(ps[i]["ids"], ds[i]["ids"])
+        np.testing.assert_array_equal(
+            ps[i]["mel"],
+            ds[i]["mel"].astype(np.float16).astype(np.float32))

@@ -54,6 +54,10 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=0,
                     help="process pool size for the --cpu path")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--shard_out", type=str, default=None,
+                    help="also pack the cached corpus into ONE mmap-able "
+                         "shard file (data/shard.py; phonemizes the "
+                         "manifest transcripts for the text ids)")
     args = ap.parse_args(argv)
 
     manifest = os.path.join(args.data_path, "metadata.csv")
@@ -78,6 +82,24 @@ def main(argv=None):
             print(f"[prepare] {i + 1}/{len(rows)} clips, {total} frames",
                   file=sys.stderr)
     print(f"[prepare] done: {len(rows)} clips, {total} frames")
+    if args.shard_out:
+        _write_shard_from_cache(rows, args.cache_dir, args.shard_out)
+
+
+def _write_shard_from_cache(rows, cache_dir: str, out_path: str):
+    from ..text import raw_text_to_phoneme_ids
+    from .shard import write_shard
+
+    def items():
+        for fid, text in rows:
+            yield {"ids": np.asarray(raw_text_to_phoneme_ids(text),
+                                     np.int32),
+                   "mel": np.load(os.path.join(cache_dir,
+                                               fid + ".mel.npy"))}
+
+    write_shard(items(), out_path)
+    print(f"[prepare] shard: {out_path} "
+          f"({os.path.getsize(out_path) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

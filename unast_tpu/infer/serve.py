@@ -35,7 +35,7 @@ class Synthesizer:
                  text_buckets: Sequence[int] = (32, 64, 128, 304),
                  mel_buckets: Sequence[int] = (256, 512, 816),
                  max_batch: int = 8, mesh=None, quantize: str = None,
-                 nar_pv=None, melgan_params=None):
+                 nar_pv=None, melgan_params=None, ctc_pv=None):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
         Synthesizer then serves batches sharded across all chips (params
         replicated, request batch split over 'dp'; XLA runs each shard's
@@ -52,7 +52,12 @@ class Synthesizer:
         `melgan_params`: optional trained neural-vocoder params
         (models/melgan.py) — wav synthesis then runs the one-pass conv
         generator instead of Griffin-Lim (takes precedence over
-        vocoder_pv/lift)."""
+        vocoder_pv/lift).
+
+        `ctc_pv`: optional (params, net_state) of a trained CTC ASR model
+        (models/ctc.py, same cfg dims) — asr_ids then runs the one-pass
+        greedy-CTC decode instead of the AR text decoder (beam > 1 still
+        routes to the AR beam search)."""
         self.cfg = cfg
         if quantize is not None:
             # int8 weight-only quantization (nn/quant.py): halves the
@@ -92,8 +97,11 @@ class Synthesizer:
         self.params = params
         self.net_state = net_state
         self.nar_pv = nar_pv
+        self.ctc_pv = ctc_pv
         self._tts_fn = (jax.jit(self._nar_tts_impl) if nar_pv is not None
                         else jax.jit(self._tts_impl))
+        if ctc_pv is not None:
+            self._asr_fn = jax.jit(self._ctc_asr_impl)
         self._asr_fn = jax.jit(self._asr_impl)
         self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
@@ -162,6 +170,15 @@ class Synthesizer:
                                     self.cfg, None, None, mel, mel_len,
                                     infer=True)
         return ids, stop_lens
+
+    def _ctc_asr_impl(self, params, net_state, mel, mel_len):
+        # one-pass greedy-CTC ASR; AR trees ignored (call shape unchanged),
+        # the CTC trees ride the closure — same pattern as _nar_tts_impl
+        from ..models import ctc as CT
+        c_p, c_s = self.ctc_pv
+        (ids, lens), _ = CT.ctc_asr_infer(c_p, c_s, nn.Ctx.eval(),
+                                          self.cfg, mel, mel_len)
+        return ids, lens
 
     def _asr_beam_impl(self, params, net_state, mel, mel_len, beam):
         from ..models import networks as N
