@@ -17,12 +17,19 @@ from unast_tpu.audio.params import DEFAULT as P
 from unast_tpu.infer.streaming import MelganStreamer
 from unast_tpu.models import melgan as G
 
-chunk = 32
+# 128 frames (1.6 s audio) per chunk: each window dispatch pays the
+# ~27 ms tunnel latency floor, so smaller chunks lose to the full pass
+# THROUGH THE TUNNEL (chunk 32 measured TTFA 151 ms vs full 74 ms); on
+# directly-attached hardware much smaller chunks would win.
+chunk = 128
 if "--chunk" in sys.argv:
     chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
 
 params = G.melgan_init(jax.random.PRNGKey(0))
-mel = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (815, 80)),
+# 832 = 26 x 32-frame chunks (~10.4 s audio): a chunk multiple, so the
+# full forward IS the streaming contract's reference directly
+T = -(-815 // chunk) * chunk
+mel = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (T, 80)),
                  np.float32)
 
 full_fn = jax.jit(lambda p, m: G.melgan_forward(p, m))
