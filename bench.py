@@ -859,7 +859,9 @@ def main():
     if args.all:
         for fn in (bench_wav_to_mel, bench_griffin_lim, bench_tts_infer,
                    bench_asr_infer, bench_serving, bench_vocoder,
-                   bench_train_step, bench_attention, bench_train_mfu):
+                   bench_train_step, bench_attention, bench_train_mfu,
+                   bench_nar, bench_ctc, bench_melgan, bench_serve_nar,
+                   bench_data):
             print(json.dumps(fn()))
         return
     fn = {"wav_to_mel": bench_wav_to_mel, "griffin_lim": bench_griffin_lim,

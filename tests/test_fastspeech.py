@@ -181,3 +181,74 @@ def test_speed_control_scales_durations():
     n1, n2 = int(lens1[0]), int(lens2[0])
     assert n1 > 0 and 0 < n2 < n1
     assert abs(n2 - n1 / 2) <= 4  # per-token rounding slack
+
+
+def test_token_log_f0_in_graph_matches_numpy():
+    from unast_tpu.audio.pitch import token_log_f0
+    f0 = np.array([[220., 220., 0., 110., 110., 0., 0., 330.]], np.float32)
+    dur = np.array([[2, 3, 3]], np.int32)
+    tv = np.ones((1, 3), np.float32)
+    got = np.asarray(F.token_log_f0_in_graph(
+        jnp.asarray(f0), jnp.asarray(dur), jnp.asarray(tv)))[0]
+    want = token_log_f0(f0[0], dur[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pitch_adaptor_forward_and_shift():
+    """nar_pitch: params exist, forward runs, and pitch_target
+    conditioning actually changes the output mels."""
+    cfg = TINY.replace(nar_pitch=True)
+    p, s = F.fastspeech_init(jax.random.PRNGKey(0), cfg)
+    assert "pitch" in p and "pitch_proj" in p
+    text = jnp.array([[5, 6, 7, 0]], jnp.int32)
+    text_len = jnp.array([3])
+    dur = jnp.array([[4, 4, 4, 0]], jnp.int32)
+    t1 = jnp.log(220.0) * jnp.ones((1, 4)) * (jnp.arange(4) < 3)
+    t2 = jnp.log(330.0) * jnp.ones((1, 4)) * (jnp.arange(4) < 3)
+    (_, post1, _, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, durations=dur,
+        max_len=16, pitch_target=t1)
+    (_, post2, _, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, durations=dur,
+        max_len=16, pitch_target=t2)
+    assert not np.allclose(np.asarray(post1), np.asarray(post2))
+    # free-running with a shift also runs (predicted pitch path)
+    (_, post3, _, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, max_len=16,
+        pitch_shift=1.5)
+    assert np.isfinite(np.asarray(post3)).all()
+
+
+def test_distill_step_with_pitch_trains():
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchIterator
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.fastspeech import init_fs_state, make_distill_step
+    from unast_tpu.train.steps import init_train_state
+    from unast_tpu.train.config import model_config_from_args
+
+    args, _ = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 2e-3
+    args.nar_pitch = True
+    cfg = model_config_from_args(args)
+    assert cfg.nar_pitch
+    teacher = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+    ds = SyntheticSpeechDataset(size=2, seed=0, include_f0=True)
+    it = BatchIterator(ds, 2, args.data_text_len, args.data_mel_len, seed=3)
+    raw = it.next_batch()
+    assert "f0" in raw
+    batch = {k: jnp.asarray(raw[k])
+             for k in ("text", "text_len", "mel", "mel_len", "f0")}
+    step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
+    first = last = None
+    for i in range(40):
+        fs, m = step(fs, teacher.params, teacher.net_state,
+                     jax.random.PRNGKey(10 + i), batch)
+        vals = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        if first is None:
+            first = vals
+        last = vals
+    assert "nar/pitch" in last
+    assert last["nar/pitch"] < 0.9 * first["nar/pitch"], (first, last)

@@ -43,6 +43,14 @@ def collate(items: Sequence[dict], text_len: int, mel_len: int,
            "fnames": fnames}
     if include_mag:
         out["mag"] = mag
+    if items and "f0" in items[0]:
+        # frame-level F0 rides along when the dataset provides it
+        # (SyntheticSpeechDataset(include_f0=True); the NAR pitch adaptor)
+        f0 = np.zeros((b, mel_len), np.float32)
+        for i, it in enumerate(items):
+            v = it["f0"][:mel_len]
+            f0[i, :len(v)] = v
+        out["f0"] = f0
     return out
 
 

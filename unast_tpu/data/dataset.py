@@ -108,10 +108,11 @@ class SyntheticSpeechDataset:
 
     def __init__(self, size: int = 64, seed: int = 0,
                  n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT,
-                 phoneme_dur_s: float = 0.08):
+                 phoneme_dur_s: float = 0.08, include_f0: bool = False):
         self.size = size
         self.params = params
         self.phoneme_dur_s = phoneme_dur_s
+        self.include_f0 = include_f0  # frame-level F0 (audio/pitch.py)
         self._items: Dict[int, dict] = {}
         rng = np.random.default_rng(seed)
         self._texts = [synth_sentence(rng, n_words) for _ in range(size)]
@@ -132,4 +133,9 @@ class SyntheticSpeechDataset:
             self._items[i] = {"ids": ids, "mel": mel, "mag": mag,
                               "wav": wav.astype(np.float32),
                               "fname": f"SYN-{i:05d}"}
+            if self.include_f0:
+                from ..audio.pitch import extract_f0
+                f0 = extract_f0(wav, self.params.sr,
+                                self.params.hop_length)[: len(mel)]
+                self._items[i]["f0"] = f0
         return self._items[i]

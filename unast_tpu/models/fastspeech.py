@@ -118,6 +118,23 @@ def durations_from_attention(attn, mel_len, text_len):
 # ---------------------------------------------------------------------------
 
 
+def token_log_f0_in_graph(f0, durations, text_valid):
+    """Token-level mean log-F0 over VOICED frames, in-graph (the numpy
+    counterpart is audio/pitch.py::token_log_f0). f0: [B, Tm] (0 =
+    unvoiced), durations: int32 [B, Tt] -> [B, Tt] f32 (0 where the whole
+    span is unvoiced or the token is PAD)."""
+    tm, tt = f0.shape[1], durations.shape[1]
+    ends = jnp.cumsum(durations.astype(jnp.int32), axis=1)
+    pos = jnp.arange(tm, dtype=jnp.int32)
+    idx = jnp.sum(pos[None, :, None] >= ends[:, None, :], axis=-1)
+    onehot = jax.nn.one_hot(idx, tt, dtype=jnp.float32)  # [B, Tm, Tt]
+    voiced = (f0 > 0).astype(jnp.float32)
+    logf = jnp.log(jnp.maximum(f0, 1e-3)) * voiced
+    num = jnp.einsum("bmt,bm->bt", onehot, logf)
+    den = jnp.einsum("bmt,bm->bt", onehot, voiced)
+    return (num / jnp.maximum(den, 1.0)) * text_valid
+
+
 def fastspeech_init(key, cfg: ModelConfig):
     """Returns (params, state). state carries the text-prenet and postnet
     BatchNorm running stats (same explicit-state discipline as networks)."""
@@ -140,6 +157,14 @@ def fastspeech_init(key, cfg: ModelConfig):
                                   cfg.num_layers),
         "postnet": postnet_p,
     }
+    if cfg.nar_pitch:
+        # FastSpeech-2-style pitch adaptor: a second variance predictor
+        # (same conv arch) + a linear conditioning of the token states on
+        # (token-level) log-F0; 0 = unvoiced carries the voicing signal.
+        kp1, kp2 = jax.random.split(jax.random.fold_in(key, 7))
+        params["pitch"] = duration_predictor_init(kp1, cfg.e_in)
+        params["pitch_proj"] = nn.linear_init(kp2, 1, cfg.e_in,
+                                              torch_default=True)
     return params, {"prenet": prenet_s, "postnet": postnet_s}
 
 
@@ -155,29 +180,44 @@ def _encode(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, pad_mask):
     return h, prenet_s
 
 
-def predict_log_durations(p, s, cfg: ModelConfig, text, text_lens):
-    """EVAL-MODE duration prediction (no dropout, running BN stats) —
-    exactly the branch inference uses. The distillation loss regresses
+def predict_variances(p, s, cfg: ModelConfig, text, text_lens):
+    """EVAL-MODE variance predictions (no dropout, running BN stats) —
+    exactly the branch inference uses. The distillation losses regress
     THIS output (train/fastspeech.py): regressing a train-mode branch
-    leaves a systematic eval-time length bias (~+10-20% measured on the
-    gate — 0.5 prenet dropout + batch-stat BN shift the head's input
-    distribution between modes)."""
+    leaves a systematic eval-time bias (~+10-20% length error measured on
+    the gate — 0.5 prenet dropout + batch-stat BN shift the heads' input
+    distribution between modes). Returns (log_dur [B, Tt],
+    log_f0 [B, Tt] or None when cfg.nar_pitch is off)."""
     pad_mask = ~M.lens_to_mask(text_lens, text.shape[1])
     ctx = nn.Ctx.eval()
     h, _ = _encode(p, s, ctx, cfg, text, pad_mask)
-    return duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
+    log_dur = duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
+    log_f0 = (duration_predictor(p["pitch"], ctx, h, pad_mask, cfg.d_drop)
+              if cfg.nar_pitch else None)
+    return log_dur, log_f0
+
+
+def predict_log_durations(p, s, cfg: ModelConfig, text, text_lens):
+    return predict_variances(p, s, cfg, text, text_lens)[0]
 
 
 def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
                        durations=None, max_len: Optional[int] = None,
-                       speed: float = 1.0):
+                       speed: float = 1.0, pitch_target=None,
+                       pitch_shift: float = 1.0):
     """text: [B, Tt] int32 -> ((pre, post [B, max_len, num_mels], out_lens,
     log_dur_pred [B, Tt]), new_state).
 
     durations: int32 [B, Tt] teacher durations (training — the regulator
     uses them so mel targets align frame-for-frame). None = inference: the
     regulator uses round(expm1(log_dur_pred) / speed) (speed > 1 talks
-    faster, the FastSpeech control knob)."""
+    faster, the FastSpeech control knob).
+
+    cfg.nar_pitch: token states are additionally conditioned on token
+    log-F0 — `pitch_target` [B, Tt] during training, the eval-mode pitch
+    predictor at inference with `pitch_shift` scaling the F0 (log-domain
+    shift on voiced tokens; the pitch-control knob,
+    scripts/pitch_control_check.py)."""
     tt = text.shape[1]
     max_len = int(max_len or cfg.max_mel_len)
     pad_mask = ~M.lens_to_mask(text_lens, tt)
@@ -188,6 +228,16 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
     if durations is None:
         durations = jnp.round(jnp.expm1(log_dur) / speed).astype(jnp.int32)
         durations = jnp.maximum(durations, 0) * (~pad_mask)
+
+    if cfg.nar_pitch:
+        if pitch_target is None:
+            pf = duration_predictor(p["pitch"], ctx, h, pad_mask,
+                                    cfg.d_drop)
+            pf = jnp.where(pf > 0, pf + jnp.log(pitch_shift), pf)
+        else:
+            pf = pitch_target.astype(jnp.float32)
+        emb = nn.linear(p["pitch_proj"], pf[..., None]).astype(h.dtype)
+        h = h + emb * (~pad_mask)[..., None].astype(h.dtype)
 
     frames, out_lens = length_regulate(h, durations, max_len)
     frames = M.positional_encoding(ctx, frames)

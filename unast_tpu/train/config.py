@@ -191,6 +191,10 @@ def build_parser() -> argparse.ArgumentParser:
              "STFT pretraining phase (0 = STFT-only, the default)")
     add("--ctc_steps", type=int, default=2000,
         help="CTC ASR training steps (train/ctc.py CLI)")
+    add("--nar_pitch", type=lambda s: s.lower() != "false", default=False,
+        help="FastSpeech-2-style pitch adaptor in the NAR TTS model "
+             "(token log-F0 predictor + pitch conditioning; pitch_shift "
+             "control at inference)")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,
@@ -246,6 +250,7 @@ def model_config_from_args(args):
         speech_encoder=getattr(args, "speech_encoder", "transformer")
         or "transformer",
         conformer_kernel=getattr(args, "conformer_kernel", 15) or 15,
+        nar_pitch=bool(getattr(args, "nar_pitch", False)),
         use_discriminator=args.use_discriminator, disc_hid=args.disc_hid,
         disc_bidirectional=args.disc_bidirectional,
         disc_num_layers=args.disc_num_layers,

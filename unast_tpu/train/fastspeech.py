@@ -70,25 +70,41 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
         dur = F.durations_from_attention(jnp.stack(ws), mel_len, text_len)
         dur = jax.lax.stop_gradient(dur)
 
+        tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
+        pitch_tgt = None
+        if cfg.nar_pitch:
+            # token-level mean log-F0 over the teacher-aligned spans
+            # (frame F0 from the dataset, audio/pitch.py)
+            pitch_tgt = jax.lax.stop_gradient(
+                F.token_log_f0_in_graph(batch["f0"], dur, tv))
+
         def loss_fn(params):
             ctx = nn.Ctx(rng=rng, train=True)
             (pre, post, _, _), ns = F.fastspeech_forward(
                 params, fs.net_state, ctx, cfg, text, text_len,
-                durations=dur, max_len=mel.shape[1])
+                durations=dur, max_len=mel.shape[1],
+                pitch_target=pitch_tgt)
             mask = lens_to_mask(mel_len, mel.shape[1])[..., None]
             l_pre = L.masked_mse(mel, pre, mask)
             l_post = L.masked_mse(mel, post, mask)
-            # Duration loss on the EVAL-MODE branch — the path inference
-            # actually runs (models/fastspeech.py::predict_log_durations
-            # explains the train/eval length-bias this removes).
-            logd = F.predict_log_durations(params, fs.net_state, cfg,
-                                           text, text_len)
-            tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
+            # Variance losses on the EVAL-MODE branch — the path inference
+            # actually runs (models/fastspeech.py::predict_variances
+            # explains the train/eval bias this removes).
+            logd, logf = F.predict_variances(params, fs.net_state, cfg,
+                                             text, text_len)
             d_err = (logd - jnp.log1p(dur.astype(jnp.float32))) ** 2
             l_dur = jnp.sum(d_err * tv) / jnp.maximum(jnp.sum(tv), 1.0)
             loss = l_pre + l_post + dur_w * l_dur
-            return loss, (ns, {"nar/pre": l_pre, "nar/post": l_post,
-                               "nar/dur": l_dur})
+            metrics = {"nar/pre": l_pre, "nar/post": l_post,
+                       "nar/dur": l_dur}
+            if cfg.nar_pitch:
+                voiced = (pitch_tgt > 0).astype(jnp.float32) * tv
+                p_err = (logf - pitch_tgt) ** 2
+                l_pitch = (jnp.sum(p_err * voiced)
+                           / jnp.maximum(jnp.sum(voiced), 1.0))
+                loss = loss + dur_w * l_pitch
+                metrics["nar/pitch"] = l_pitch
+            return loss, (ns, metrics)
 
         grads, (ns, metrics) = jax.grad(loss_fn, has_aux=True)(fs.params)
         updates, opt = tx.update(grads, fs.opt, fs.params)
@@ -158,8 +174,13 @@ def main(argv=None):
         t_ts = t_template
 
     if getattr(args, "synthetic", False) or not os.path.isdir(args.data_path):
-        ds = SyntheticSpeechDataset(size=64, seed=0)
+        ds = SyntheticSpeechDataset(size=64, seed=0,
+                                    include_f0=cfg.nar_pitch)
     else:
+        if cfg.nar_pitch:
+            raise NotImplementedError(
+                "--nar_pitch needs frame F0 in the dataset items; run "
+                "audio/pitch.py::extract_f0 over the corpus first")
         ds = LJSpeechDataset(args.data_path, "labeled_train")
     it = BatchIterator(ds, args.train_batch_size, args.data_text_len,
                        args.data_mel_len, seed=args.seed + 1)
@@ -167,7 +188,8 @@ def main(argv=None):
     fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
     step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
     rng = jax.random.PRNGKey(2)
-    keys = ("text", "text_len", "mel", "mel_len")
+    keys = ("text", "text_len", "mel", "mel_len") + (
+        ("f0",) if cfg.nar_pitch else ())
     for i in range(n_steps):
         raw = it.next_batch()
         batch = {k: jnp.asarray(raw[k]) for k in keys}
