@@ -1,9 +1,11 @@
 """Pitch-control gate (real chip or CPU): train the AR teacher, distill a
 FastSpeech student WITH the pitch adaptor (--nar_pitch), synthesize the
-same texts at pitch_shift 1.0 and 1.33, vocode (mel lift + Griffin-Lim),
-and measure the output F0 with audio/pitch.py. Gate: the measured median
-F0 ratio must land within 12% of the commanded shift (and shift=1.0 must
-stay near the gold F0).
+same texts at pitch_shift 1.0 and 1.33, and read the output F0 straight
+off the synthesized MELS (audio/pitch.py::mel_f0_template; Griffin-Lim
+over the serving mag lift destroys periodicity, so wav-domain
+autocorrelation cannot verify this). Gate: the measured median F0 ratio
+must land within 12% of the commanded shift (and shift=1.0 must stay
+near the gold-mel readout).
 
 Run: python scripts/pitch_control_check.py [--teacher_steps N]
      [--nar_steps M] [--shift R]
@@ -16,9 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unast_tpu.audio import dsp
-from unast_tpu.audio.params import DEFAULT as P
-from unast_tpu.audio.pitch import extract_f0
+from unast_tpu.audio.pitch import mel_f0_template
 from unast_tpu.data.batching import BatchGetter, BatchIterator
 from unast_tpu.data.dataset import SyntheticSpeechDataset
 from unast_tpu.models import fastspeech as F
@@ -47,15 +47,18 @@ args = parse_with_config([
     "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
     "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
     "--nhead", "2", "--use_discriminator", "false",
-    "--max_mel_len", "112", "--max_text_len", "32",
-    "--data_mel_len", "112", "--data_text_len", "32",
+    "--max_mel_len", "224", "--max_text_len", "32",
+    "--data_mel_len", "224", "--data_text_len", "32",
     "--ae_steps", "0", "--cm_steps", "0", "--sp_steps", "2", "--d_steps", "0",
     "--train_batch_size", "4", "--sched_type", "multistep", "--lr", "1e-3",
     "--optim_type", "adamw", "--compute_dtype", "bfloat16",
     "--nar_pitch", "true", "--nar_dur_weight", "2"] + _argv)
 cfg = model_config_from_args(args)
 assert cfg.nar_pitch
-ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.04,
+# phoneme_dur_s 0.08: the 1102-sample analysis window then fits inside a
+# phoneme, so mid-phoneme frames are single-tone and F0 is readable
+# (at 0.04 every frame is a two-tone mixture — measured)
+ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.08,
                             include_f0=True)
 bg = BatchGetter(args, ds, ds, ds)
 
@@ -86,31 +89,29 @@ for s in range(NAR_STEPS):
             f"{k.split('/')[-1]} {float(v):.4f}" for k, v in sorted(m.items())
             if k != "grad_norm"))
 
-# ---- synthesize at two pitch shifts, measure output F0 ----
+# ---- synthesize at two pitch shifts, read F0 off the MELS ----
+# (the serving mag lift + Griffin-Lim destroys periodicity — the
+# template readout works on the mel directly, audio/pitch.py)
 eval_it = BatchIterator(ds, 4, args.data_text_len, args.data_mel_len, seed=9)
 b = eval_it.next_batch()
-lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(P))
 
 
 @jax.jit
 def synth(params, net_state, text, text_len, shift):
     (_, post, out_lens, _), _ = F.fastspeech_forward(
         params, net_state, nn.Ctx.eval(), cfg,
-        text, text_len, max_len=112, pitch_shift=shift)
-    wavs = jax.vmap(lambda m: dsp._mag_to_wav_core(
-        jnp.clip(m @ lift, 1e-8, 1.0), P))(post)
-    return wavs, out_lens
+        text, text_len, max_len=224, pitch_shift=shift)
+    return post, out_lens
 
 
 def median_f0(shift):
-    wavs, out_lens = synth(fs.params, fs.net_state,
+    post, out_lens = synth(fs.params, fs.net_state,
                            jnp.asarray(b["text"]),
                            jnp.asarray(b["text_len"]), shift)
-    wavs = np.asarray(wavs, np.float32)
+    post = np.asarray(post, np.float32)
     meds = []
-    for i in range(len(wavs)):
-        n = int(out_lens[i]) * P.hop_length
-        f0 = extract_f0(wavs[i, :max(n, P.hop_length)])
+    for i in range(len(post)):
+        f0 = mel_f0_template(post[i, : max(int(out_lens[i]), 1)])
         v = f0[f0 > 0]
         if len(v):
             meds.append(float(np.median(v)))
@@ -119,7 +120,7 @@ def median_f0(shift):
 
 gold_meds = []
 for i in range(4):
-    f0 = b["f0"][i][: b["mel_len"][i]]
+    f0 = mel_f0_template(b["mel"][i][: b["mel_len"][i]])
     v = f0[f0 > 0]
     gold_meds.append(float(np.median(v)))
 gold = float(np.median(gold_meds))

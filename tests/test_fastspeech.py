@@ -252,3 +252,19 @@ def test_distill_step_with_pitch_trains():
         last = vals
     assert "nar/pitch" in last
     assert last["nar/pitch"] < 0.9 * first["nar/pitch"], (first, last)
+
+
+def test_mel_f0_template_reads_gold_pitch():
+    """The mel-domain template F0 readout agrees with the wav-domain
+    autocorrelation on gold data (median relative error < 10%)."""
+    from unast_tpu.audio.pitch import mel_f0_template
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    ds = SyntheticSpeechDataset(size=2, seed=0, include_f0=True)
+    for i in range(2):
+        it = ds[i]
+        got = mel_f0_template(it["mel"])
+        ref = it["f0"][: len(got)]
+        both = (ref > 0) & (got > 0)
+        assert both.sum() > 10
+        err = np.abs(got[both] - ref[both]) / ref[both]
+        assert np.median(err) < 0.10, float(np.median(err))

@@ -81,3 +81,52 @@ def token_log_f0(f0: np.ndarray, durations: np.ndarray) -> np.ndarray:
             out[i] = np.log(v).mean()
         t += int(d)
     return out
+
+
+def mel_f0_template(mel: np.ndarray, f0s: np.ndarray = None,
+                    sr: int = 22050, n_fft: int = 2048, win: int = 1102,
+                    preemph: float = 0.97, band: int = 30,
+                    floor: float = 0.25) -> np.ndarray:
+    """Per-frame F0 read off a (normalized-log) MEL spectrogram by
+    TEMPLATE MATCHING: for each candidate F0, the synthetic corpus's
+    two-partial line spectrum (fundamental + one octave harmonic,
+    data/dataset.py::synth_audio) is projected through the exact analysis
+    chain — preemphasis gain, hann-mainlobe leakage, mel filterbank, dB,
+    clip-normalization — and each frame picks the best-cosine template.
+
+    Why not wav-domain autocorrelation on vocoded audio: the serving mag
+    lift + Griffin-Lim destroys periodicity (measured 1/100 voiced frames
+    on GOLD-mel reconstructions). Why not a mel argmax: preemphasis tilts
+    the octave harmonic above the fundamental. Caveat: frames whose
+    analysis window spans a phoneme boundary are two-tone mixtures and
+    match poorly — compare MEDIANS of the same readout (the pitch-control
+    gate compares synth@shift medians, so selection biases cancel), and
+    use phoneme_dur_s >= 0.08 so mid-phoneme frames are pure."""
+    from .filters import hann_window, mel_filterbank
+    if f0s is None:
+        f0s = np.arange(90.0, 580.0, 4.0)
+    n_freqs = 1 + n_fft // 2
+    basis = mel_filterbank(sr, n_fft, mel.shape[1])
+    kern = np.abs(np.fft.rfft(hann_window(win, n_fft)))[:40]
+    bank = []
+    for f0 in f0s:
+        mag = np.zeros(n_freqs)
+        for f, a in ((f0, 0.5), (2 * f0, 0.25)):
+            g = abs(1 - preemph * np.exp(-2j * np.pi * f / sr))
+            ci = int(round(f / (sr / 2) * (n_freqs - 1)))
+            for d in range(-39, 40):
+                j = ci + d
+                if 0 <= j < n_freqs:
+                    mag[j] += a * g * kern[abs(d)]
+        db = 20 * np.log10(np.maximum(basis @ mag, 1e-5)) - 20.0
+        bank.append(np.clip((db + 100.0) / 100.0, 0.0, 1.0))
+    tb = np.stack(bank)[:, :band]
+    tb = tb - tb.mean(axis=1, keepdims=True)
+    tb /= np.maximum(np.linalg.norm(tb, axis=1, keepdims=True), 1e-9)
+
+    m = np.asarray(mel, np.float32)[:, :band]
+    mm = m - m.mean(axis=1, keepdims=True)
+    mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-9)
+    f0 = np.asarray(f0s, np.float32)[np.argmax(mm @ tb.T, axis=1)]
+    f0[m.max(axis=1) < floor] = 0.0
+    return f0
