@@ -57,9 +57,13 @@ cfg = model_config_from_args(args)
 assert cfg.nar_pitch
 # phoneme_dur_s 0.08: the 1102-sample analysis window then fits inside a
 # phoneme, so mid-phoneme frames are single-tone and F0 is readable
-# (at 0.04 every frame is a two-tone mixture — measured)
-ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.08,
-                            include_f0=True)
+# (at 0.04 every frame is a two-tone mixture — measured).
+# pitch_jitter 0.25: per-utterance F0 variability — without it pitch is a
+# function of phoneme identity and the decoder IGNORES the pitch
+# conditioning (measured shift response exactly 1.000); with it the
+# conditioning is the only way to resolve the mel ambiguity.
+ds = SyntheticSpeechDataset(size=8, seed=0, phoneme_dur_s=0.08,
+                            include_f0=True, pitch_jitter=0.25)
 bg = BatchGetter(args, ds, ds, ds)
 
 # ---- teacher ----

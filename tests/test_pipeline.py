@@ -556,3 +556,36 @@ def test_prepare_shard_out(tmp_path):
         np.testing.assert_array_equal(
             ps[i]["mel"],
             ds[i]["mel"].astype(np.float16).astype(np.float32))
+
+
+def test_prepare_f0_cache(tmp_path):
+    """prepare.py --f0 caches frame F0 and LJSpeechDataset(include_f0=True)
+    serves it aligned with the mel frames."""
+    from unast_tpu.data import prepare
+    from unast_tpu.data.dataset import (LJSpeechDataset, synth_audio,
+                                        synth_sentence)
+    from unast_tpu.infer.synthesize import write_wav
+    from unast_tpu.text import raw_text_to_phoneme_ids
+
+    root = tmp_path / "LJMini"
+    (root / "wavs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(2):
+        text = synth_sentence(rng, (2, 3))
+        ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
+        wav = synth_audio(ids, 22050, rng)
+        fid = f"MINI-{i:03d}"
+        write_wav(str(root / "wavs" / f"{fid}.wav"), wav)
+        rows.append(f"{fid}|{text}|{text}")
+    (root / "metadata.csv").write_text("\n".join(rows) + "\n")
+    cache = root / "mel_cache"
+    prepare.main(["--data_path", str(root), "--cache_dir", str(cache),
+                  "--cpu", "--f0"])
+    ds = LJSpeechDataset(str(root / "metadata.csv"), str(cache),
+                         include_f0=True)
+    it = ds[0]
+    assert "f0" in it and it["f0"].ndim == 1
+    assert len(it["f0"]) <= len(it["mel"])
+    v = it["f0"][it["f0"] > 0]
+    assert len(v) > 5 and 80 < np.median(v) < 600

@@ -44,10 +44,13 @@ class LJSpeechDataset:
     every __getitem__, src/preprocess.py:33 — memoization is a free win)."""
 
     def __init__(self, manifest_path: str, cache_dir: str,
-                 include_mag: bool = False):
+                 include_mag: bool = False, include_f0: bool = False):
         self.rows = load_manifest(manifest_path)
         self.cache_dir = cache_dir
         self.include_mag = include_mag
+        # frame F0 from the offline cache (prepare.py --f0), for the
+        # FastSpeech pitch adaptor
+        self.include_f0 = include_f0
         self._phon_cache: Dict[int, np.ndarray] = {}
 
     def __len__(self):
@@ -66,6 +69,9 @@ class LJSpeechDataset:
         if self.include_mag:
             item["mag"] = np.load(
                 os.path.join(self.cache_dir, fname + ".mag.npy"))
+        if self.include_f0:
+            item["f0"] = np.load(
+                os.path.join(self.cache_dir, fname + ".f0.npy"))
         return item
 
 
@@ -84,15 +90,20 @@ def synth_sentence(rng: np.random.Generator, n_words: Tuple[int, int]):
 
 
 def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
-                phoneme_dur_s: float = 0.08) -> np.ndarray:
+                phoneme_dur_s: float = 0.08,
+                f0_scale: float = 1.0) -> np.ndarray:
     """Each phoneme id becomes a short harmonic stack whose fundamental is a
     deterministic function of the id — audio correlates with the text, so
-    ASR/TTS training on this corpus is learnable in principle."""
+    ASR/TTS training on this corpus is learnable in principle. `f0_scale`
+    multiplies every fundamental (per-utterance pitch variability for the
+    FastSpeech pitch adaptor: without it, pitch is a function of phoneme
+    identity and a trained decoder ignores pitch conditioning entirely —
+    measured shift response exactly 1.000)."""
     n = max(1, int(phoneme_dur_s * sr))
     t = np.arange(n) / sr
     segs = []
     for pid in ids:
-        f0 = 120.0 + 12.0 * (int(pid) % 37)
+        f0 = (120.0 + 12.0 * (int(pid) % 37)) * f0_scale
         seg = (0.5 * np.sin(2 * np.pi * f0 * t)
                + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
                + 0.02 * rng.standard_normal(n))
@@ -108,11 +119,15 @@ class SyntheticSpeechDataset:
 
     def __init__(self, size: int = 64, seed: int = 0,
                  n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT,
-                 phoneme_dur_s: float = 0.08, include_f0: bool = False):
+                 phoneme_dur_s: float = 0.08, include_f0: bool = False,
+                 pitch_jitter: float = 0.0):
         self.size = size
         self.params = params
         self.phoneme_dur_s = phoneme_dur_s
         self.include_f0 = include_f0  # frame-level F0 (audio/pitch.py)
+        # per-utterance log-uniform F0 scale in [e^-j, e^j] (see
+        # synth_audio.f0_scale; needed to train a usable pitch adaptor)
+        self.pitch_jitter = pitch_jitter
         self._items: Dict[int, dict] = {}
         rng = np.random.default_rng(seed)
         self._texts = [synth_sentence(rng, n_words) for _ in range(size)]
@@ -125,8 +140,12 @@ class SyntheticSpeechDataset:
         if i not in self._items:
             rng = np.random.default_rng(self._seed * 100003 + i)
             ids = np.asarray(raw_text_to_phoneme_ids(self._texts[i]), np.int32)
+            scale = (float(np.exp(rng.uniform(-self.pitch_jitter,
+                                              self.pitch_jitter)))
+                     if self.pitch_jitter > 0 else 1.0)
             wav = synth_audio(ids, self.params.sr, rng,
-                              phoneme_dur_s=self.phoneme_dur_s)
+                              phoneme_dur_s=self.phoneme_dur_s,
+                              f0_scale=scale)
             mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
             # raw wav kept for neural-vocoder training (train/melgan.py);
             # collate ignores extra keys

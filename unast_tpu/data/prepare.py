@@ -31,7 +31,8 @@ def read_wav(path: str, expect_sr: int = 22050) -> np.ndarray:
     return (data / 32768.0).astype(np.float32)
 
 
-def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool):
+def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool,
+                 with_f0: bool = False):
     wav = read_wav(wav_path)
     if use_jax:
         from ..audio import dsp
@@ -42,6 +43,15 @@ def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool):
         mel, mag = ref_dsp.wav_to_mel_mag(wav)
     np.save(os.path.join(cache_dir, fid + ".mel.npy"), mel)
     np.save(os.path.join(cache_dir, fid + ".mag.npy"), mag)
+    if with_f0:
+        # frame F0 aligned to the TRIMMED analysis the DSP performs: the
+        # mel comes from the trimmed wav, so extract F0 over the same span
+        from ..audio.pitch import extract_f0
+        from ..audio.params import DEFAULT as P
+        y, _ = ref_dsp.trim_silence(wav, P)
+        f0 = extract_f0(y, P.sr, P.hop_length)[: mel.shape[0]]
+        np.save(os.path.join(cache_dir, fid + ".f0.npy"),
+                f0.astype(np.float32))
     return mel.shape[0]
 
 
@@ -58,6 +68,9 @@ def main(argv=None):
                     help="also pack the cached corpus into ONE mmap-able "
                          "shard file (data/shard.py; phonemizes the "
                          "manifest transcripts for the text ids)")
+    ap.add_argument("--f0", action="store_true",
+                    help="also cache frame-level F0 (<id>.f0.npy, "
+                         "audio/pitch.py) for the FastSpeech pitch adaptor")
     args = ap.parse_args(argv)
 
     manifest = os.path.join(args.data_path, "metadata.csv")
@@ -68,7 +81,7 @@ def main(argv=None):
     if args.cpu and args.workers > 1:
         import multiprocessing as mp
         jobs = [(os.path.join(args.data_path, "wavs", fid + ".wav"),
-                 args.cache_dir, fid, False) for fid, _ in rows]
+                 args.cache_dir, fid, False, args.f0) for fid, _ in rows]
         with mp.Pool(args.workers) as pool:
             frames = pool.starmap(process_clip, jobs, chunksize=32)
         print(f"[prepare] done: {len(rows)} clips, {sum(frames)} frames")
@@ -77,7 +90,7 @@ def main(argv=None):
     for i, (fid, _) in enumerate(rows):
         wav_path = os.path.join(args.data_path, "wavs", fid + ".wav")
         total += process_clip(wav_path, args.cache_dir, fid,
-                              use_jax=not args.cpu)
+                              use_jax=not args.cpu, with_f0=args.f0)
         if (i + 1) % 500 == 0:
             print(f"[prepare] {i + 1}/{len(rows)} clips, {total} frames",
                   file=sys.stderr)

@@ -39,6 +39,11 @@ from . import modules as M
 from . import transformer as T
 from .config import ModelConfig
 
+# pitch-conditioning normalization (see fastspeech_forward): log(245 Hz)
+# center, ~0.5 log-units spread covers 90-580 Hz
+_LOG_F0_CENTER = 5.5
+_LOG_F0_SCALE = 0.5
+
 
 # ---------------------------------------------------------------------------
 # Duration predictor: 2x (conv1d k3 -> ReLU -> LayerNorm -> dropout) -> linear
@@ -236,6 +241,13 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
             pf = jnp.where(pf > 0, pf + jnp.log(pitch_shift), pf)
         else:
             pf = pitch_target.astype(jnp.float32)
+        # normalize the conditioning scalar (FastSpeech 2 recipe): raw
+        # log-F0 (~5-6) through a fan-in-1 linear is a huge near-constant
+        # input — the trained response collapses to insensitivity
+        # (measured pitch_shift response 1.01 unnormalized); centered and
+        # scaled, a 1.33 shift is a 0.57-unit feature delta. 0 keeps
+        # meaning "unvoiced".
+        pf = jnp.where(pf > 0, (pf - _LOG_F0_CENTER) / _LOG_F0_SCALE, 0.0)
         emb = nn.linear(p["pitch_proj"], pf[..., None]).astype(h.dtype)
         h = h + emb * (~pad_mask)[..., None].astype(h.dtype)
 

@@ -89,7 +89,12 @@ def main(argv=None):
     if getattr(args, "synthetic", False) or not os.path.isdir(args.data_path):
         ds = SyntheticSpeechDataset(size=int(args.synthetic_size), seed=0)
     else:
-        ds = LJSpeechDataset(args.data_path, "labeled_train")
+        from ..data.splits import REFERENCE_SPLITS_DIR
+        local = os.path.join(args.data_path, "splits")
+        splits = (local if os.path.isdir(local) else REFERENCE_SPLITS_DIR)
+        ds = LJSpeechDataset(
+            os.path.join(splits, "labeled_train.csv"),
+            os.path.join(args.data_path, "mel_cache"))
     it = BatchIterator(ds, args.train_batch_size, args.data_text_len,
                        args.data_mel_len, seed=args.seed + 1)
     ts = init_ctc_state(jax.random.PRNGKey(0), cfg, args)

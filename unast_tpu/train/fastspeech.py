@@ -177,11 +177,15 @@ def main(argv=None):
         ds = SyntheticSpeechDataset(size=64, seed=0,
                                     include_f0=cfg.nar_pitch)
     else:
-        if cfg.nar_pitch:
-            raise NotImplementedError(
-                "--nar_pitch needs frame F0 in the dataset items; run "
-                "audio/pitch.py::extract_f0 over the corpus first")
-        ds = LJSpeechDataset(args.data_path, "labeled_train")
+        # same split/cache layout as train/loop.py; --nar_pitch needs the
+        # F0 cache from `python -m unast_tpu.data.prepare ... --f0`
+        from ..data.splits import REFERENCE_SPLITS_DIR
+        local = os.path.join(args.data_path, "splits")
+        splits = (local if os.path.isdir(local) else REFERENCE_SPLITS_DIR)
+        ds = LJSpeechDataset(
+            os.path.join(splits, "labeled_train.csv"),
+            os.path.join(args.data_path, "mel_cache"),
+            include_f0=cfg.nar_pitch)
     it = BatchIterator(ds, args.train_batch_size, args.data_text_len,
                        args.data_mel_len, seed=args.seed + 1)
 
