@@ -268,3 +268,56 @@ def test_mel_f0_template_reads_gold_pitch():
         assert both.sum() > 10
         err = np.abs(got[both] - ref[both]) / ref[both]
         assert np.median(err) < 0.10, float(np.median(err))
+
+
+def test_energy_adaptor_forward_and_training():
+    """nar_energy: targets from the gold mel, conditioning changes the
+    output, and one distill step trains with a finite energy loss."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchIterator
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.config import model_config_from_args
+    from unast_tpu.train.fastspeech import init_fs_state, make_distill_step
+    from unast_tpu.train.steps import init_train_state
+
+    cfg = TINY.replace(nar_energy=True)
+    p, s = F.fastspeech_init(jax.random.PRNGKey(0), cfg)
+    assert "energy" in p and "energy_proj" in p
+    text = jnp.array([[5, 6, 7, 0]], jnp.int32)
+    text_len = jnp.array([3])
+    dur = jnp.array([[4, 4, 4, 0]], jnp.int32)
+    e1 = 0.2 * jnp.ones((1, 4)) * (jnp.arange(4) < 3)
+    e2 = 0.5 * jnp.ones((1, 4)) * (jnp.arange(4) < 3)
+    (_, o1, _, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, durations=dur,
+        max_len=16, energy_target=e1)
+    (_, o2, _, _), _ = F.fastspeech_forward(
+        p, s, nn.Ctx.eval(), cfg, text, text_len, durations=dur,
+        max_len=16, energy_target=e2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    # in-graph targets match a hand reduction
+    mel = jnp.asarray(np.random.default_rng(0).random((1, 12, cfg.num_mels),
+                                                      ).astype(np.float32))
+    tgt = np.asarray(F.token_energy_in_graph(
+        mel, jnp.array([[5, 7, 0, 0]]), jnp.asarray([[1., 1., 0., 0.]])))
+    want0 = float(np.mean(np.asarray(mel)[0, :5]))
+    want1 = float(np.mean(np.asarray(mel)[0, 5:12]))
+    np.testing.assert_allclose(tgt[0, :2], [want0, want1], rtol=1e-5)
+
+    args, _ = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 1e-3
+    args.nar_energy = True
+    cfg2 = model_config_from_args(args)
+    teacher = init_train_state(jax.random.PRNGKey(0), cfg2, args)
+    fs = init_fs_state(jax.random.PRNGKey(1), cfg2, args)
+    ds = SyntheticSpeechDataset(size=2, seed=0, gain_jitter=0.5)
+    it = BatchIterator(ds, 2, args.data_text_len, args.data_mel_len, seed=3)
+    raw = it.next_batch()
+    batch = {k: jnp.asarray(raw[k])
+             for k in ("text", "text_len", "mel", "mel_len")}
+    step = jax.jit(make_distill_step(cfg2, cfg2, args))
+    fs2, m = step(fs, teacher.params, teacher.net_state,
+                  jax.random.PRNGKey(2), batch)
+    assert "nar/energy" in m
+    assert all(np.isfinite(float(v)) for v in m.values()), m

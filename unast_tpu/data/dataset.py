@@ -91,7 +91,7 @@ def synth_sentence(rng: np.random.Generator, n_words: Tuple[int, int]):
 
 def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
                 phoneme_dur_s: float = 0.08,
-                f0_scale: float = 1.0) -> np.ndarray:
+                f0_scale: float = 1.0, gain: float = 1.0) -> np.ndarray:
     """Each phoneme id becomes a short harmonic stack whose fundamental is a
     deterministic function of the id — audio correlates with the text, so
     ASR/TTS training on this corpus is learnable in principle. `f0_scale`
@@ -110,7 +110,8 @@ def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
         env = np.hanning(n)
         segs.append(seg * env)
     wav = np.concatenate(segs) if segs else np.zeros(n)
-    return (0.5 * wav / max(1e-6, np.max(np.abs(wav)))).astype(np.float32)
+    return (0.5 * gain * wav
+            / max(1e-6, np.max(np.abs(wav)))).astype(np.float32)
 
 
 class SyntheticSpeechDataset:
@@ -120,7 +121,7 @@ class SyntheticSpeechDataset:
     def __init__(self, size: int = 64, seed: int = 0,
                  n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT,
                  phoneme_dur_s: float = 0.08, include_f0: bool = False,
-                 pitch_jitter: float = 0.0):
+                 pitch_jitter: float = 0.0, gain_jitter: float = 0.0):
         self.size = size
         self.params = params
         self.phoneme_dur_s = phoneme_dur_s
@@ -128,6 +129,8 @@ class SyntheticSpeechDataset:
         # per-utterance log-uniform F0 scale in [e^-j, e^j] (see
         # synth_audio.f0_scale; needed to train a usable pitch adaptor)
         self.pitch_jitter = pitch_jitter
+        # per-utterance log-uniform amplitude scale (energy adaptor)
+        self.gain_jitter = gain_jitter
         self._items: Dict[int, dict] = {}
         rng = np.random.default_rng(seed)
         self._texts = [synth_sentence(rng, n_words) for _ in range(size)]
@@ -143,9 +146,12 @@ class SyntheticSpeechDataset:
             scale = (float(np.exp(rng.uniform(-self.pitch_jitter,
                                               self.pitch_jitter)))
                      if self.pitch_jitter > 0 else 1.0)
+            gain = (float(np.exp(rng.uniform(-self.gain_jitter,
+                                             self.gain_jitter)))
+                    if self.gain_jitter > 0 else 1.0)
             wav = synth_audio(ids, self.params.sr, rng,
                               phoneme_dur_s=self.phoneme_dur_s,
-                              f0_scale=scale)
+                              f0_scale=scale, gain=gain)
             mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
             # raw wav kept for neural-vocoder training (train/melgan.py);
             # collate ignores extra keys

@@ -111,10 +111,11 @@ class ModelConfig:
     speech_encoder: str = "transformer"
     conformer_kernel: int = 15  # depthwise conv window (odd)
 
-    # FastSpeech-2-style pitch variance adaptor (models/fastspeech.py):
-    # token-level log-F0 predictor + pitch conditioning of the NAR TTS
-    # decoder; enables pitch control at inference. NAR model only.
+    # FastSpeech-2-style variance adaptors (models/fastspeech.py):
+    # token-level log-F0 / mel-energy predictors + conditioning of the
+    # NAR TTS decoder; enable pitch/energy control at inference. NAR only.
     nar_pitch: bool = False
+    nar_energy: bool = False
 
     moe_experts: int = 0
     moe_top_k: int = 1

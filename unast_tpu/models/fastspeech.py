@@ -43,6 +43,8 @@ from .config import ModelConfig
 # center, ~0.5 log-units spread covers 90-580 Hz
 _LOG_F0_CENTER = 5.5
 _LOG_F0_SCALE = 0.5
+# energy conditioning center (mean of [0,1]-normalized log-mel frames)
+_ENERGY_CENTER = 0.3
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +125,22 @@ def durations_from_attention(attn, mel_len, text_len):
 # ---------------------------------------------------------------------------
 
 
+def token_energy_in_graph(mel, durations, text_valid):
+    """Token-level mean frame energy (mean of the normalized-log mel over
+    bins) over the duration-aligned spans: mel [B, Tm, M], durations
+    int32 [B, Tt] -> [B, Tt] f32. Targets for the energy adaptor — no
+    external extractor needed, the gold mel IS the energy source."""
+    tm, tt = mel.shape[1], durations.shape[1]
+    ends = jnp.cumsum(durations.astype(jnp.int32), axis=1)
+    pos = jnp.arange(tm, dtype=jnp.int32)
+    idx = jnp.sum(pos[None, :, None] >= ends[:, None, :], axis=-1)
+    onehot = jax.nn.one_hot(idx, tt, dtype=jnp.float32)
+    e_frame = jnp.mean(mel.astype(jnp.float32), axis=-1)  # [B, Tm]
+    num = jnp.einsum("bmt,bm->bt", onehot, e_frame)
+    den = jnp.sum(onehot, axis=1)
+    return (num / jnp.maximum(den, 1.0)) * text_valid
+
+
 def token_log_f0_in_graph(f0, durations, text_valid):
     """Token-level mean log-F0 over VOICED frames, in-graph (the numpy
     counterpart is audio/pitch.py::token_log_f0). f0: [B, Tm] (0 =
@@ -170,6 +188,13 @@ def fastspeech_init(key, cfg: ModelConfig):
         params["pitch"] = duration_predictor_init(kp1, cfg.e_in)
         params["pitch_proj"] = nn.linear_init(kp2, 1, cfg.e_in,
                                               torch_default=True)
+    if cfg.nar_energy:
+        # energy adaptor: token-level mean normalized-log-mel energy
+        # (targets come straight from the gold mel — no extractor)
+        ke1, ke2 = jax.random.split(jax.random.fold_in(key, 8))
+        params["energy"] = duration_predictor_init(ke1, cfg.e_in)
+        params["energy_proj"] = nn.linear_init(ke2, 1, cfg.e_in,
+                                               torch_default=True)
     return params, {"prenet": prenet_s, "postnet": postnet_s}
 
 
@@ -192,14 +217,17 @@ def predict_variances(p, s, cfg: ModelConfig, text, text_lens):
     leaves a systematic eval-time bias (~+10-20% length error measured on
     the gate — 0.5 prenet dropout + batch-stat BN shift the heads' input
     distribution between modes). Returns (log_dur [B, Tt],
-    log_f0 [B, Tt] or None when cfg.nar_pitch is off)."""
+    log_f0 [B, Tt] or None when cfg.nar_pitch is off, energy [B, Tt] or
+    None when cfg.nar_energy is off)."""
     pad_mask = ~M.lens_to_mask(text_lens, text.shape[1])
     ctx = nn.Ctx.eval()
     h, _ = _encode(p, s, ctx, cfg, text, pad_mask)
     log_dur = duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
     log_f0 = (duration_predictor(p["pitch"], ctx, h, pad_mask, cfg.d_drop)
               if cfg.nar_pitch else None)
-    return log_dur, log_f0
+    energy = (duration_predictor(p["energy"], ctx, h, pad_mask, cfg.d_drop)
+              if cfg.nar_energy else None)
+    return log_dur, log_f0, energy
 
 
 def predict_log_durations(p, s, cfg: ModelConfig, text, text_lens):
@@ -209,7 +237,8 @@ def predict_log_durations(p, s, cfg: ModelConfig, text, text_lens):
 def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
                        durations=None, max_len: Optional[int] = None,
                        speed: float = 1.0, pitch_target=None,
-                       pitch_shift: float = 1.0):
+                       pitch_shift: float = 1.0, energy_target=None,
+                       energy_scale: float = 1.0):
     """text: [B, Tt] int32 -> ((pre, post [B, max_len, num_mels], out_lens,
     log_dur_pred [B, Tt]), new_state).
 
@@ -249,6 +278,18 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
         # meaning "unvoiced".
         pf = jnp.where(pf > 0, (pf - _LOG_F0_CENTER) / _LOG_F0_SCALE, 0.0)
         emb = nn.linear(p["pitch_proj"], pf[..., None]).astype(h.dtype)
+        h = h + emb * (~pad_mask)[..., None].astype(h.dtype)
+
+    if cfg.nar_energy:
+        if energy_target is None:
+            ef = duration_predictor(p["energy"], ctx, h, pad_mask,
+                                    cfg.d_drop) * energy_scale
+        else:
+            ef = energy_target.astype(jnp.float32)
+        # energies are means of the [0,1]-normalized log mel (~0.2-0.5):
+        # already unit-scale, center only
+        ef = jnp.where(ef != 0, ef - _ENERGY_CENTER, 0.0)
+        emb = nn.linear(p["energy_proj"], ef[..., None]).astype(h.dtype)
         h = h + emb * (~pad_mask)[..., None].astype(h.dtype)
 
     frames, out_lens = length_regulate(h, durations, max_len)

@@ -71,27 +71,31 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
         dur = jax.lax.stop_gradient(dur)
 
         tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
-        pitch_tgt = None
+        pitch_tgt = energy_tgt = None
         if cfg.nar_pitch:
             # token-level mean log-F0 over the teacher-aligned spans
             # (frame F0 from the dataset, audio/pitch.py)
             pitch_tgt = jax.lax.stop_gradient(
                 F.token_log_f0_in_graph(batch["f0"], dur, tv))
+        if cfg.nar_energy:
+            # token-level mean mel energy straight from the gold mel
+            energy_tgt = jax.lax.stop_gradient(
+                F.token_energy_in_graph(mel, dur, tv))
 
         def loss_fn(params):
             ctx = nn.Ctx(rng=rng, train=True)
             (pre, post, _, _), ns = F.fastspeech_forward(
                 params, fs.net_state, ctx, cfg, text, text_len,
                 durations=dur, max_len=mel.shape[1],
-                pitch_target=pitch_tgt)
+                pitch_target=pitch_tgt, energy_target=energy_tgt)
             mask = lens_to_mask(mel_len, mel.shape[1])[..., None]
             l_pre = L.masked_mse(mel, pre, mask)
             l_post = L.masked_mse(mel, post, mask)
             # Variance losses on the EVAL-MODE branch — the path inference
             # actually runs (models/fastspeech.py::predict_variances
             # explains the train/eval bias this removes).
-            logd, logf = F.predict_variances(params, fs.net_state, cfg,
-                                             text, text_len)
+            logd, logf, ener = F.predict_variances(params, fs.net_state,
+                                                   cfg, text, text_len)
             d_err = (logd - jnp.log1p(dur.astype(jnp.float32))) ** 2
             l_dur = jnp.sum(d_err * tv) / jnp.maximum(jnp.sum(tv), 1.0)
             loss = l_pre + l_post + dur_w * l_dur
@@ -104,6 +108,11 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
                            / jnp.maximum(jnp.sum(voiced), 1.0))
                 loss = loss + dur_w * l_pitch
                 metrics["nar/pitch"] = l_pitch
+            if cfg.nar_energy:
+                e_err = (ener - energy_tgt) ** 2
+                l_en = jnp.sum(e_err * tv) / jnp.maximum(jnp.sum(tv), 1.0)
+                loss = loss + dur_w * l_en
+                metrics["nar/energy"] = l_en
             return loss, (ns, metrics)
 
         grads, (ns, metrics) = jax.grad(loss_fn, has_aux=True)(fs.params)
