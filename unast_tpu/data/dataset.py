@@ -121,7 +121,8 @@ class SyntheticSpeechDataset:
     def __init__(self, size: int = 64, seed: int = 0,
                  n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT,
                  phoneme_dur_s: float = 0.08, include_f0: bool = False,
-                 pitch_jitter: float = 0.0, gain_jitter: float = 0.0):
+                 pitch_jitter: float = 0.0, gain_jitter: float = 0.0,
+                 jitter_variants: int = 1):
         self.size = size
         self.params = params
         self.phoneme_dur_s = phoneme_dur_s
@@ -131,6 +132,14 @@ class SyntheticSpeechDataset:
         self.pitch_jitter = pitch_jitter
         # per-utterance log-uniform amplitude scale (energy adaptor)
         self.gain_jitter = gain_jitter
+        # jitter_variants > 1: each access cycles through K differently-
+        # jittered renditions of the utterance. With a single fixed
+        # rendition the TEXT identifies the utterance and thus its jitter
+        # — a conditioning-free decoder just memorizes it (measured:
+        # energy-adaptor response collapses); cycling variants breaks
+        # text -> jitter as a function, making the conditioning necessary.
+        self.jitter_variants = max(1, int(jitter_variants))
+        self._access: Dict[int, int] = {}
         self._items: Dict[int, dict] = {}
         rng = np.random.default_rng(seed)
         self._texts = [synth_sentence(rng, n_words) for _ in range(size)]
@@ -140,8 +149,14 @@ class SyntheticSpeechDataset:
         return self.size
 
     def __getitem__(self, i: int):
-        if i not in self._items:
-            rng = np.random.default_rng(self._seed * 100003 + i)
+        v = 0
+        if self.jitter_variants > 1:
+            v = self._access.get(i, 0) % self.jitter_variants
+            self._access[i] = self._access.get(i, 0) + 1
+        key = (i, v)
+        if key not in self._items:
+            rng = np.random.default_rng(
+                self._seed * 100003 + i + 7919 * v)
             ids = np.asarray(raw_text_to_phoneme_ids(self._texts[i]), np.int32)
             scale = (float(np.exp(rng.uniform(-self.pitch_jitter,
                                               self.pitch_jitter)))
@@ -155,12 +170,12 @@ class SyntheticSpeechDataset:
             mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
             # raw wav kept for neural-vocoder training (train/melgan.py);
             # collate ignores extra keys
-            self._items[i] = {"ids": ids, "mel": mel, "mag": mag,
-                              "wav": wav.astype(np.float32),
-                              "fname": f"SYN-{i:05d}"}
+            self._items[key] = {"ids": ids, "mel": mel, "mag": mag,
+                                "wav": wav.astype(np.float32),
+                                "fname": f"SYN-{i:05d}"}
             if self.include_f0:
                 from ..audio.pitch import extract_f0
                 f0 = extract_f0(wav, self.params.sr,
                                 self.params.hop_length)[: len(mel)]
-                self._items[i]["f0"] = f0
-        return self._items[i]
+                self._items[key]["f0"] = f0
+        return self._items[key]
