@@ -145,3 +145,29 @@ def test_adversarial_step_trains_both_players():
     assert not np.allclose(g0, np.asarray(jax.tree_util.tree_leaves(ats.gen)[0]))
     assert not np.allclose(d0, np.asarray(jax.tree_util.tree_leaves(ats.disc)[0]))
     assert vals["adv/fm"] > 0.0
+
+
+def test_tts_long_splits_and_concatenates():
+    """tts_long handles text past max_text_len: word-boundary segments,
+    one concatenated waveform with pauses."""
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import fastspeech as F
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import TINY
+    from unast_tpu.text import raw_text_to_phoneme_ids
+
+    cfg = TINY  # max_text_len 16
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    n_params, n_state = F.fastspeech_init(jax.random.PRNGKey(1), cfg)
+    n_params["dur"]["fc"]["b"] = n_params["dur"]["fc"]["b"] + 2.0
+    mg = G.melgan_init(jax.random.PRNGKey(2), base=32)
+    syn = Synthesizer(a_params, a_state, cfg, text_buckets=(16,),
+                      mel_buckets=(cfg.max_mel_len,), max_batch=4,
+                      nar_pv=(n_params, n_state), melgan_params=mg)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(raw_text_to_phoneme_ids(text)) > cfg.max_text_len
+    wav = syn.tts_long(text, pause_s=0.05)
+    assert wav.ndim == 1 and np.isfinite(wav).all()
+    short = syn.tts_long("cat", pause_s=0.05)  # single-segment path
+    assert short.ndim == 1
+    assert len(wav) > len(short)

@@ -200,8 +200,12 @@ class Synthesizer:
     def _tts_chunk(self, chunk: List[str]):
         """One padded/bucketed chunk of texts -> (post [rows, Tcap, n_mels]
         jnp, stop_lens np, n_real)."""
-        seqs = [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
-                for t in chunk]
+        return self._tts_chunk_seqs(
+            [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
+             for t in chunk])
+
+    def _tts_chunk_seqs(self, seqs):
+        """Pre-phonemized variant of _tts_chunk (id arrays in, mels out)."""
         n = len(seqs)
         rows = self._pad_chunk(n)
         tl = self._bucket(self.text_buckets, max(len(s) for s in seqs))
@@ -234,12 +238,58 @@ class Synthesizer:
         (rows, bucket) instead of one Griffin-Lim compile per distinct
         utterance length — then each waveform is cut at its stop length and
         silence-trimmed on host."""
+        return self._tts_wavs_from_seqs(
+            [np.asarray(raw_text_to_phoneme_ids(t), np.int32)
+             for t in texts])
+
+    def tts_long(self, text: str, pause_s: float = 0.1):
+        """Unbounded-length text -> one waveform. Texts longer than the
+        model's max_text_len are split at WORD boundaries (space phoneme,
+        id 3) into segments within the cap, synthesized as ONE batch
+        (they ride the same bucketed program), and concatenated with
+        `pause_s` of silence between segments. Capability add: the
+        reference caps every input at max_text_len (src/network.py:455)."""
+        from ..text.symbols import symbols
+        space = symbols.index(" ")
+        ids = raw_text_to_phoneme_ids(text)
+        cap = self.cfg.max_text_len
+        segs, cur = [], []
+        for tok in ids:
+            cur.append(tok)
+            if len(cur) >= cap:
+                # backtrack to the last word boundary inside the cap
+                try:
+                    cut = len(cur) - 1 - cur[::-1].index(space)
+                except ValueError:
+                    cut = len(cur)  # no space: hard split at the cap
+                head, cur = cur[:cut], [t for t in cur[cut:] if t != space]
+                if head:
+                    segs.append(head)
+        if cur:
+            segs.append(cur)
+        wavs = self._tts_wavs_from_seqs(
+            [np.asarray(s, np.int32) for s in segs])
+        if len(wavs) == 1:
+            return wavs[0]
+        gap = np.zeros(int(pause_s * self.audio_params.sr), np.float32)
+        out = []
+        for i, w in enumerate(wavs):
+            if i:
+                out.append(gap)
+            out.append(w)
+        return np.concatenate(out)
+
+    def _tts_wavs_from_seqs(self, seqs):
+        """Pre-phonemized id sequences -> waveforms: batched mel
+        synthesis, fixed-bucket batched vocoding (MelGAN > CBHG+GL >
+        lift+GL), native C silence trim per utterance (the pure-numpy
+        trim costs ~100 ms per 32-utterance batch on this host)."""
         from .. import native
         p = self.audio_params
         out = []
-        for start in range(0, len(texts), self.max_batch):
-            post, stop_lens, n = self._tts_chunk(
-                texts[start:start + self.max_batch])
+        for start in range(0, len(seqs), self.max_batch):
+            post, stop_lens, n = self._tts_chunk_seqs(
+                seqs[start:start + self.max_batch])
             tb = self._bucket(self.mel_buckets,
                               max(1, int(stop_lens[:n].max())))
             mel_b = post[:, :tb]
@@ -253,8 +303,6 @@ class Synthesizer:
             wavs = np.asarray(wavs, np.float32)
             for i in range(n):
                 cut = p.hop_length * max(1, int(stop_lens[i]) - 1)
-                # native C trim (numpy fallback inside) — the pure-numpy
-                # trim costs ~100 ms per 32-utterance batch on this host
                 w, _ = native.trim_silence(
                     wavs[i, :cut], frame_length=p.trim_frame_length,
                     hop=p.trim_hop_length, top_db=p.trim_top_db)
