@@ -104,3 +104,38 @@ def test_synthesizer_ctc_asr_path():
     for ids in outs:
         assert ids.ndim == 1 and len(ids) <= cfg.max_text_len
         assert np.all(ids < C.BLANK_ID)  # blanks never emitted
+
+
+def test_hybrid_ctc_attention_sp_objective():
+    """--ctc_weight: the ctc_head exists, the supervised step carries a
+    finite ctc_sp metric, and ~40 steps drop it substantially."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.config import model_config_from_args
+    from unast_tpu.train.steps import init_train_state, make_train_step
+
+    args, _ = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 2e-3
+    args.ctc_weight = 0.5
+    args.ae_steps, args.cm_steps, args.sp_steps, args.d_steps = 0, 0, 1, 0
+    args.use_discriminator = False
+    args.train_batch_size = 2
+    cfg = model_config_from_args(args)
+    assert cfg.ctc_weight == 0.5
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    assert "ctc_head" in ts.params["speech_m"]
+    ds = SyntheticSpeechDataset(size=2, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, use_discriminator=False))
+    step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
+    first = last = None
+    for i in range(40):
+        ts, m = step(ts, jax.random.PRNGKey(1 + i), batches)
+        v = float(m["sp/ctc_sp"])
+        assert np.isfinite(v), m
+        if first is None:
+            first = v
+        last = v
+    assert last < 0.6 * first, (first, last)

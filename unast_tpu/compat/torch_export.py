@@ -103,6 +103,9 @@ def export_state_dict(params, net_state):
             assert "conv_dw" not in node, (
                 "cannot export a conformer speech encoder: the reference "
                 "has only transformer/RNN encoders")
+            assert "ctc_head" not in node, (
+                "cannot export a hybrid-CTC model: the reference has no "
+                "CTC head")
             for v in node.values():
                 _scan(v)
         elif isinstance(node, (list, tuple)):

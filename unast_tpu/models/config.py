@@ -117,6 +117,11 @@ class ModelConfig:
     nar_pitch: bool = False
     nar_energy: bool = False
 
+    # Hybrid CTC/attention supervised training (ESPnet-style): an
+    # auxiliary CTC head on the speech encoder, weighted into the sp
+    # objective. 0 = off (reference parity). Transformer/conformer only.
+    ctc_weight: float = 0.0
+
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25

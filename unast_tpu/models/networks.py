@@ -271,6 +271,13 @@ def speech_transformer_init(key, cfg: ModelConfig):
                                   cfg.num_layers, moe=cfg.moe_experts),
         "postnet": postnet_p,
     }
+    if cfg.ctc_weight > 0:
+        # hybrid CTC/attention (train/steps.py sp objective): per-frame
+        # head over 46 symbols + 1 blank on the encoder output
+        from .config import VOCAB_SIZE
+        params["ctc_head"] = nn.linear_init(
+            jax.random.fold_in(key, 9), cfg.e_in, VOCAB_SIZE + 1,
+            torch_default=True)
     return params, state
 
 

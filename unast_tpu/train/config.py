@@ -195,6 +195,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="FastSpeech-2-style pitch adaptor in the NAR TTS model "
              "(token log-F0 predictor + pitch conditioning; pitch_shift "
              "control at inference)")
+    add("--ctc_weight", type=float, default=0.0,
+        help="hybrid CTC/attention: auxiliary CTC loss on the speech "
+             "encoder in the supervised objective (0 = off)")
     add("--nar_energy", type=lambda s: s.lower() != "false", default=False,
         help="FastSpeech-2-style energy adaptor (token mel-energy "
              "predictor + conditioning; energy_scale control)")
@@ -255,6 +258,7 @@ def model_config_from_args(args):
         conformer_kernel=getattr(args, "conformer_kernel", 15) or 15,
         nar_pitch=bool(getattr(args, "nar_pitch", False)),
         nar_energy=bool(getattr(args, "nar_energy", False)),
+        ctc_weight=float(getattr(args, "ctc_weight", 0.0) or 0.0),
         use_discriminator=args.use_discriminator, disc_hid=args.disc_hid,
         disc_bidirectional=args.disc_bidirectional,
         disc_num_layers=args.disc_num_layers,

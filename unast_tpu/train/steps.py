@@ -239,9 +239,22 @@ def sp_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
         ga = ga_w * (_ga_loss(tts_ws, s_q, text_len, ga_sigma)
                      + _ga_loss(asr_ws, text_len, mel_len, ga_sigma))
         aux["ga_sp"] = ga
+    ctc = 0.0
+    if cfg.ctc_weight > 0:
+        # hybrid CTC/attention (ESPnet-style): auxiliary CTC loss on the
+        # speech-encoder output over the gold transcript. The re-encode's
+        # BN-state update is DISCARDED (U.asr already threaded it once;
+        # updating running stats twice per step would skew them).
+        from ..models import ctc as CT
+        (mem, pad), _ = N.speech_encode(
+            params["speech_m"], st["speech_m"], ctx, cfg, mel_aug, mel_len)
+        ctc_logits = nn.linear(params["speech_m"]["ctc_head"],
+                               mem).astype(jnp.float32)
+        ctc = cfg.ctc_weight * CT.ctc_loss(ctc_logits, pad, text, text_len)
+        aux["ctc_sp"] = ctc
     moe = _moe_aux(ctx, args, aux)
     aux.update(tts=tts_l, asr=asr_l)
-    return (tts_l + asr_l + d_loss + ga + moe) * scale, (aux, st)
+    return (tts_l + asr_l + d_loss + ga + moe + ctc) * scale, (aux, st)
 
 
 def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
