@@ -252,6 +252,22 @@ void* shard_open(const char* path) {
   s->n_items = (int64_t)n;
   memcpy(&s->n_mels, p + 16, 4);
   s->index = (const uint64_t*)(p + 24);
+  // validate the index against the file size so a truncated/corrupt
+  // shard fails at open, not as an out-of-bounds read in shard_collate
+  if (24 + s->n_items * 32 > s->size || s->n_mels <= 0) {
+    munmap(base, st.st_size);
+    delete s;
+    return nullptr;
+  }
+  for (int64_t i = 0; i < s->n_items; ++i) {
+    const uint64_t* e = s->index + i * 4;
+    if (e[0] + e[1] * 4 > (uint64_t)s->size ||
+        e[2] + e[3] * 2 * (uint64_t)s->n_mels > (uint64_t)s->size) {
+      munmap(base, st.st_size);
+      delete s;
+      return nullptr;
+    }
+  }
   return s;
 }
 

@@ -109,3 +109,19 @@ def test_f16_conversion_specials(tmp_path):
     want = np.tile(vals.T, (1, 80))[:10].astype(np.float16
                                                 ).astype(np.float32)
     np.testing.assert_array_equal(got["mel"][0], want)
+
+
+def test_corrupt_shard_fails_at_open(tmp_path):
+    """A truncated shard must be rejected by the native reader at OPEN
+    (not as an OOB read later); the python side falls back cleanly."""
+    ds = SyntheticSpeechDataset(size=2, seed=0)
+    path = str(tmp_path / "c.unsh")
+    write_shard((ds[i] for i in range(2)), path)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) // 2])  # truncate payload
+    if native.available():
+        assert native.shard_open(path) is None
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ps = PackedShardDataset(path)
+        ps.collate_batch([0, 1], 16, 64)
