@@ -125,16 +125,22 @@ def durations_from_attention(attn, mel_len, text_len):
 # ---------------------------------------------------------------------------
 
 
+def _span_onehot(durations, tm: int):
+    """Frame->token assignment for duration spans: [B, Tm, Tt] one-hot
+    (the same cumsum rule as length_regulate; shared by the variance-
+    target reductions below)."""
+    ends = jnp.cumsum(durations.astype(jnp.int32), axis=1)
+    pos = jnp.arange(tm, dtype=jnp.int32)
+    idx = jnp.sum(pos[None, :, None] >= ends[:, None, :], axis=-1)
+    return jax.nn.one_hot(idx, durations.shape[1], dtype=jnp.float32)
+
+
 def token_energy_in_graph(mel, durations, text_valid):
     """Token-level mean frame energy (mean of the normalized-log mel over
     bins) over the duration-aligned spans: mel [B, Tm, M], durations
     int32 [B, Tt] -> [B, Tt] f32. Targets for the energy adaptor — no
     external extractor needed, the gold mel IS the energy source."""
-    tm, tt = mel.shape[1], durations.shape[1]
-    ends = jnp.cumsum(durations.astype(jnp.int32), axis=1)
-    pos = jnp.arange(tm, dtype=jnp.int32)
-    idx = jnp.sum(pos[None, :, None] >= ends[:, None, :], axis=-1)
-    onehot = jax.nn.one_hot(idx, tt, dtype=jnp.float32)
+    onehot = _span_onehot(durations, mel.shape[1])
     e_frame = jnp.mean(mel.astype(jnp.float32), axis=-1)  # [B, Tm]
     num = jnp.einsum("bmt,bm->bt", onehot, e_frame)
     den = jnp.sum(onehot, axis=1)
@@ -146,11 +152,7 @@ def token_log_f0_in_graph(f0, durations, text_valid):
     counterpart is audio/pitch.py::token_log_f0). f0: [B, Tm] (0 =
     unvoiced), durations: int32 [B, Tt] -> [B, Tt] f32 (0 where the whole
     span is unvoiced or the token is PAD)."""
-    tm, tt = f0.shape[1], durations.shape[1]
-    ends = jnp.cumsum(durations.astype(jnp.int32), axis=1)
-    pos = jnp.arange(tm, dtype=jnp.int32)
-    idx = jnp.sum(pos[None, :, None] >= ends[:, None, :], axis=-1)
-    onehot = jax.nn.one_hot(idx, tt, dtype=jnp.float32)  # [B, Tm, Tt]
+    onehot = _span_onehot(durations, f0.shape[1])
     voiced = (f0 > 0).astype(jnp.float32)
     logf = jnp.log(jnp.maximum(f0, 1e-3)) * voiced
     num = jnp.einsum("bmt,bm->bt", onehot, logf)
