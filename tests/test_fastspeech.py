@@ -321,3 +321,36 @@ def test_energy_adaptor_forward_and_training():
                   jax.random.PRNGKey(2), batch)
     assert "nar/energy" in m
     assert all(np.isfinite(float(v)) for v in m.values()), m
+
+
+def test_pitch_and_energy_adaptors_compose():
+    """Both variance adaptors on together: params present, one distill
+    step runs with both losses finite."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchIterator
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.config import model_config_from_args
+    from unast_tpu.train.fastspeech import init_fs_state, make_distill_step
+    from unast_tpu.train.steps import init_train_state
+
+    args, _ = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 1e-3
+    args.nar_pitch = True
+    args.nar_energy = True
+    cfg = model_config_from_args(args)
+    teacher = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+    for k in ("pitch", "pitch_proj", "energy", "energy_proj"):
+        assert k in fs.params, k
+    ds = SyntheticSpeechDataset(size=2, seed=0, include_f0=True,
+                                pitch_jitter=0.2, gain_jitter=0.3,
+                                jitter_variants=2)
+    it = BatchIterator(ds, 2, args.data_text_len, args.data_mel_len, seed=3)
+    raw = it.next_batch()
+    batch = {k: jnp.asarray(raw[k])
+             for k in ("text", "text_len", "mel", "mel_len", "f0")}
+    step = jax.jit(make_distill_step(cfg, cfg, args))
+    fs2, m = step(fs, teacher.params, teacher.net_state,
+                  jax.random.PRNGKey(2), batch)
+    assert "nar/pitch" in m and "nar/energy" in m
+    assert all(np.isfinite(float(v)) for v in m.values()), m
