@@ -139,3 +139,55 @@ def test_hybrid_ctc_attention_sp_objective():
             first = v
         last = v
     assert last < 0.6 * first, (first, last)
+
+
+def test_prefix_beam_matches_greedy_on_peaked_logits():
+    """With near-one-hot posteriors, prefix beam == greedy collapse."""
+    b_id = C.BLANK_ID
+    seq = [5, 5, b_id, 7, 7, b_id, 9]
+    logits = np.full((len(seq), VOCAB_SIZE + 1), -15.0, np.float32)
+    for t, k in enumerate(seq):
+        logits[t, k] = 8.0
+    lp = logits - np.log(np.sum(np.exp(logits), -1, keepdims=True))
+    got = C.ctc_prefix_beam_search(lp, len(seq), beam=4, max_text_len=8)
+    assert got == [5, 7, 9]
+
+
+def test_prefix_beam_merges_alignment_mass():
+    """A case where greedy is wrong but the summed alignment mass picks
+    the right prefix: every frame slightly prefers blank, but the token's
+    total mass across frames dominates."""
+    b_id = C.BLANK_ID
+    T = 4
+    lp = np.full((T, VOCAB_SIZE + 1), -20.0, np.float64)
+    # per frame: P(blank)=0.4, P(tok 5)=0.35, P(tok 7)=0.25
+    for t in range(T):
+        lp[t, b_id] = np.log(0.40)
+        lp[t, 5] = np.log(0.35)
+        lp[t, 7] = np.log(0.25)
+    # greedy: argmax is blank every frame -> empty hyp
+    greedy_ids, greedy_lens = C.ctc_greedy_decode(
+        jnp.asarray(lp[None], jnp.float32),
+        jnp.zeros((1, T), bool), max_text_len=4)
+    assert int(greedy_lens[0]) == 0
+    # prefix beam: P(empty) = 0.4^4 = 0.0256 < P("5") summed over all
+    # alignments with >=1 frame of token 5 and no 7
+    got = C.ctc_prefix_beam_search(lp, T, beam=8, max_text_len=4)
+    assert got == [5], got
+
+
+def test_synthesizer_ctc_beam_path():
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import unast as U
+
+    cfg = TINY
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    c_params, c_state = C.ctc_asr_init(jax.random.PRNGKey(1), cfg)
+    syn = Synthesizer(a_params, a_state, cfg, text_buckets=(16,),
+                      mel_buckets=(24,), max_batch=2,
+                      ctc_pv=(c_params, c_state))
+    mels = [np.random.default_rng(0).random((20, cfg.num_mels)
+                                            ).astype(np.float32)]
+    outs = syn.asr_ids(mels, ctc_beam=4)
+    assert len(outs) == 1 and outs[0].ndim == 1
+    assert np.all(outs[0] < C.BLANK_ID)

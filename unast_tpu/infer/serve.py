@@ -309,11 +309,17 @@ class Synthesizer:
                 out.append(w)
         return out
 
-    def asr_ids(self, mels: List[np.ndarray], beam: int = 1):
+    def asr_ids(self, mels: List[np.ndarray], beam: int = 1,
+                ctc_beam: int = 1):
         """mels (list of [T, n_mels]) -> list of phoneme-id np arrays.
-        beam > 1 (transformer backbone only) uses beam-search decode."""
+        beam > 1 (transformer backbone only) uses the AR beam-search
+        decode; ctc_beam > 1 (with ctc_pv) runs prefix beam search over
+        the CTC posteriors (host-side; merges probability mass across
+        alignments — models/ctc.py::ctc_prefix_beam_search)."""
         if beam > 1 and self.cfg.model_type != "transformer":
             raise ValueError("beam search requires the transformer backbone")
+        if ctc_beam > 1 and self.ctc_pv is None:
+            raise ValueError("ctc_beam needs Synthesizer(ctc_pv=...)")
         out = []
         for start in range(0, len(mels), self.max_batch):
             chunk = mels[start:start + self.max_batch]
@@ -327,6 +333,15 @@ class Synthesizer:
                 mel[i, :len(m)] = m
                 lens[i] = len(m)
             mel, lens = self._place(jnp.asarray(mel), jnp.asarray(lens))
+            if ctc_beam > 1:
+                lp, n_frames = self._ctc_log_probs(mel, lens)
+                lp, n_frames = np.asarray(lp), np.asarray(n_frames)
+                from ..models.ctc import ctc_prefix_beam_search
+                out.extend(np.asarray(ctc_prefix_beam_search(
+                    lp[i], int(n_frames[i]), beam=ctc_beam,
+                    max_text_len=self.cfg.max_text_len), np.int32)
+                    for i in range(n))
+                continue
             if beam > 1:
                 ids, stop_lens = self._asr_beam_fn(
                     self.params, self.net_state, mel, lens, beam)
@@ -337,6 +352,20 @@ class Synthesizer:
             stop_lens = np.asarray(stop_lens)
             out.extend(ids[i, : stop_lens[i]] for i in range(n))
         return out
+
+    def _ctc_log_probs(self, mel, mel_len):
+        if not hasattr(self, "_ctc_lp_fn"):
+            from ..models import ctc as CT
+
+            def impl(mel, mel_len):
+                c_p, c_s = self.ctc_pv
+                logits, pad, _ = CT.ctc_logits(c_p, c_s, nn.Ctx.eval(),
+                                               self.cfg, mel, mel_len)
+                return (jax.nn.log_softmax(logits, axis=-1),
+                        jnp.sum(~pad, axis=1))
+
+            self._ctc_lp_fn = jax.jit(impl)
+        return self._ctc_lp_fn(mel, mel_len)
 
     def asr(self, wavs: List[np.ndarray], beam: int = 1):
         """waveforms -> decoded text strings (via the shared DSP + codec)."""

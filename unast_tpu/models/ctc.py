@@ -74,6 +74,58 @@ def ctc_asr_infer(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
     return (ids, lens), new_s
 
 
+def ctc_prefix_beam_search(log_probs: "np.ndarray", n_frames: int,
+                           beam: int = 8, max_text_len: int = 300):
+    """Prefix beam search over a CTC lattice (Hannun et al. 2014) —
+    host-side numpy over one utterance's log-posteriors [T, V+1].
+
+    Unlike greedy argmax-collapse, probability mass is merged across the
+    MANY alignments of each prefix (blank/non-blank bookkeeping), which
+    recovers tokens whose per-frame argmax never wins. Serving entry:
+    Synthesizer.asr_ids(..., ctc_beam=K). Returns a python list of ids."""
+    import numpy as np
+
+    lp = np.asarray(log_probs, np.float64)[:n_frames]
+    NEG = -1e30
+
+    def logsumexp2(a, b):
+        m = max(a, b)
+        if m <= NEG:
+            return NEG
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # beams: prefix tuple -> (log p ending in blank, log p ending in tok)
+    beams = {(): (0.0, NEG)}
+    for t in range(lp.shape[0]):
+        frame = lp[t]
+        top = np.argsort(frame)[::-1][: max(beam, 8)]  # prune the vocab
+        nxt = {}
+
+        def acc(prefix, pb, pnb):
+            b0, nb0 = nxt.get(prefix, (NEG, NEG))
+            nxt[prefix] = (logsumexp2(b0, pb), logsumexp2(nb0, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            p_tot = logsumexp2(pb, pnb)
+            for k in top:
+                pk = float(frame[k])
+                if k == BLANK_ID:
+                    acc(prefix, p_tot + pk, NEG)
+                elif prefix and k == prefix[-1]:
+                    # repeat: extends ONLY the blank-ending mass; the
+                    # non-blank mass collapses into the same prefix
+                    acc(prefix, NEG, pnb + pk)
+                    if len(prefix) < max_text_len:
+                        acc(prefix + (int(k),), NEG, pb + pk)
+                else:
+                    if len(prefix) < max_text_len:
+                        acc(prefix + (int(k),), NEG, p_tot + pk)
+        beams = dict(sorted(nxt.items(),
+                            key=lambda kv: -logsumexp2(*kv[1]))[:beam])
+    best = max(beams.items(), key=lambda kv: logsumexp2(*kv[1]))[0]
+    return list(best)
+
+
 def ctc_loss(logits, frame_pad_mask, labels, label_lens):
     """Mean per-sequence CTC loss. labels: [B, N] gold ids (0=PAD)."""
     label_pad = (~M.lens_to_mask(label_lens, labels.shape[1])
