@@ -23,11 +23,19 @@ from unast_tpu.train.melgan import (crop_batch, init_voc_state,
                                     make_vocoder_step, mr_stft_loss)
 
 _argv = sys.argv[1:]
-STEPS = 1500
-if "--vocoder_steps" in _argv:
-    i = _argv.index("--vocoder_steps")
-    STEPS = int(_argv[i + 1])
-    del _argv[i:i + 2]
+
+
+def _pop(name, default):
+    if name in _argv:
+        i = _argv.index(name)
+        v = int(_argv[i + 1])
+        del _argv[i:i + 2]
+        return v
+    return default
+
+
+STEPS = _pop("--vocoder_steps", 1500)
+TRAIN_N = _pop("--train_n", 8)
 
 
 class A:
@@ -35,7 +43,7 @@ class A:
     melgan_base = 256
 
 
-TRAIN_N, EVAL_N = 8, 4
+EVAL_N = 4
 ds = SyntheticSpeechDataset(size=TRAIN_N + EVAL_N, seed=0)
 train_ds = [ds[i] for i in range(TRAIN_N)]
 eval_items = [ds[TRAIN_N + i] for i in range(EVAL_N)]
