@@ -39,6 +39,10 @@ def _pop_int(name, default):
 
 TEACHER_STEPS = _pop_int("--teacher_steps", 1200)
 NAR_STEPS = _pop_int("--nar_steps", 1500)
+# --train_n > 0: train on the first train_n utterances of a larger
+# corpus and evaluate on 4 HELD-OUT ones (generalization mode; default 0
+# keeps the original 4-utt memorization gate).
+TRAIN_N = _pop_int("--train_n", 0)
 
 args = parse_with_config([
     "--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
@@ -50,7 +54,14 @@ args = parse_with_config([
     "--train_batch_size", "4", "--sched_type", "multistep", "--lr", "1e-3",
     "--optim_type", "adamw", "--compute_dtype", "bfloat16"] + _argv)
 cfg = model_config_from_args(args)
-ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.04)
+if TRAIN_N > 0:
+    full = SyntheticSpeechDataset(size=TRAIN_N + 4, seed=0,
+                                  phoneme_dur_s=0.04)
+    ds = [full[i] for i in range(TRAIN_N)]
+    eval_ds = [full[TRAIN_N + i] for i in range(4)]
+else:
+    ds = SyntheticSpeechDataset(size=4, seed=0, phoneme_dur_s=0.04)
+    eval_ds = ds
 bg = BatchGetter(args, ds, ds, ds)
 
 # ---- Phase 1: AR teacher (supervised grounding recipe) ----
@@ -81,7 +92,8 @@ for s in range(NAR_STEPS):
             if k != "grad_norm"))
 
 # ---- Gate ----
-eval_it = BatchIterator(ds, 4, args.data_text_len, args.data_mel_len, seed=9)
+eval_it = BatchIterator(eval_ds, 4, args.data_text_len, args.data_mel_len,
+                        seed=9)
 b = eval_it.next_batch()
 mse, lens = eval_nar_mse(fs, cfg, b)
 print(f"NAR free-running mel MSE: {mse:.4f}")
