@@ -354,3 +354,22 @@ def test_pitch_and_energy_adaptors_compose():
                   jax.random.PRNGKey(2), batch)
     assert "nar/pitch" in m and "nar/energy" in m
     assert all(np.isfinite(float(v)) for v in m.values()), m
+
+
+def test_soft_durations_sum_and_positivity():
+    """soft=True durations sum exactly to mel_len per row and spread mass
+    over attended tokens (no argmax zero-collapse)."""
+    b, tm, tt = 2, 10, 4
+    rng = np.random.default_rng(0)
+    a = rng.random((1, b, 1, tm, tt)).astype(np.float32)
+    mel_len = jnp.array([10, 7])
+    text_len = jnp.array([4, 3])
+    hard = F.durations_from_attention(jnp.asarray(a), mel_len, text_len)
+    soft = F.durations_from_attention(jnp.asarray(a), mel_len, text_len,
+                                      soft=True)
+    np.testing.assert_array_equal(np.asarray(jnp.sum(hard, 1)), [10, 7])
+    np.testing.assert_array_equal(np.asarray(jnp.sum(soft, 1)), [10, 7])
+    # near-uniform random attention: soft spreads over ALL valid tokens
+    assert np.all(np.asarray(soft)[0, :4] > 0)
+    assert np.all(np.asarray(soft)[1, :3] > 0)
+    assert np.all(np.asarray(soft)[1, 3:] == 0)  # PAD token gets none

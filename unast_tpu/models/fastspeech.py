@@ -102,22 +102,45 @@ def length_regulate(x, durations, max_len: int):
     return frames * valid, out_lens
 
 
-def durations_from_attention(attn, mel_len, text_len):
+def durations_from_attention(attn, mel_len, text_len, soft: bool = False):
     """Teacher-alignment duration extraction (FastSpeech §3.4).
 
     attn: [L, B, H, Tm, Tt] cross-attention probs from a teacher-forced
     autoregressive TTS decode (networks.speech_tr_decode_sequence's
-    cross_weights_out). Averages layers/heads, masks PAD text columns,
-    argmaxes per frame, and counts frames per token over valid frames.
+    cross_weights_out). Averages layers/heads and masks PAD text columns.
+
+    soft=False (FastSpeech 1): per-frame argmax counts. soft=True:
+    EXPECTED attention mass per token (renormalized over valid tokens,
+    summed over valid frames, largest-remainder rounding so rows still
+    sum to mel_len) — strictly positive for attended tokens and much
+    smoother, which generalizes better when the teacher's attention is
+    noisy (the held-out probe in BENCHMARKS.md: argmax durations
+    memorize utterance-specific noise).
     Returns int32 [B, Tt] durations summing to mel_len per row."""
     a = jnp.mean(attn.astype(jnp.float32), axis=(0, 2))  # [B, Tm, Tt]
     tm, tt = a.shape[1], a.shape[2]
     text_valid = M.lens_to_mask(text_len, tt)  # [B, Tt]
-    a = jnp.where(text_valid[:, None, :], a, -jnp.inf)
-    tok = jnp.argmax(a, axis=-1)  # [B, Tm]
-    frame_valid = M.lens_to_mask(mel_len, tm).astype(jnp.int32)
-    onehot = jax.nn.one_hot(tok, tt, dtype=jnp.int32)
-    return jnp.sum(onehot * frame_valid[..., None], axis=1)
+    frame_valid = M.lens_to_mask(mel_len, tm)
+    if not soft:
+        am = jnp.where(text_valid[:, None, :], a, -jnp.inf)
+        tok = jnp.argmax(am, axis=-1)  # [B, Tm]
+        onehot = jax.nn.one_hot(tok, tt, dtype=jnp.int32)
+        return jnp.sum(onehot * frame_valid.astype(jnp.int32)[..., None],
+                       axis=1)
+    mass = a * text_valid[:, None, :]
+    mass = mass / jnp.maximum(jnp.sum(mass, axis=-1, keepdims=True), 1e-6)
+    soft_d = jnp.sum(mass * frame_valid.astype(jnp.float32)[..., None],
+                     axis=1)  # [B, Tt], sums to mel_len
+    # largest-remainder rounding: floor, then hand the leftover frames to
+    # the largest fractional parts so the row total stays exactly mel_len
+    base = jnp.floor(soft_d)
+    frac = soft_d - base
+    short = (mel_len.astype(jnp.int32)
+             - jnp.sum(base, axis=1).astype(jnp.int32))  # [B]
+    order = jnp.argsort(-frac, axis=1)
+    rank = jnp.argsort(order, axis=1)  # rank of each token by frac
+    bump = (rank < short[:, None]).astype(jnp.int32)
+    return base.astype(jnp.int32) + bump
 
 
 # ---------------------------------------------------------------------------

@@ -201,6 +201,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("--nar_energy", type=lambda s: s.lower() != "false", default=False,
         help="FastSpeech-2-style energy adaptor (token mel-energy "
              "predictor + conditioning; energy_scale control)")
+    add("--nar_soft_durations", type=lambda s: s.lower() != "false",
+        default=False,
+        help="distill EXPECTED attention mass per token instead of "
+             "argmax counts (smoother; generalizes better on noisy "
+             "teacher alignments)")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,

@@ -56,6 +56,7 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
     (the BatchIterator layout). jit with donate_argnums=(0,)."""
     tx = make_optimizer(args, make_schedule(args))
     dur_w = float(getattr(args, "nar_dur_weight", 1.0) or 1.0)
+    soft = bool(getattr(args, "nar_soft_durations", False))
 
     def step(fs: FSTrainState, t_params, t_state, rng, batch):
         text = batch["text"]
@@ -67,7 +68,8 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
         ws = []
         U.tts(t_params, t_state, nn.Ctx.eval(), teacher_cfg, text, text_len,
               mel, mel_len, cross_weights_out=ws)
-        dur = F.durations_from_attention(jnp.stack(ws), mel_len, text_len)
+        dur = F.durations_from_attention(jnp.stack(ws), mel_len, text_len,
+                                         soft=soft)
         dur = jax.lax.stop_gradient(dur)
 
         tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
