@@ -104,6 +104,17 @@ def test_synthesizer_ctc_asr_path():
     for ids in outs:
         assert ids.ndim == 1 and len(ids) <= cfg.max_text_len
         assert np.all(ids < C.BLANK_ID)  # blanks never emitted
+    # it must actually be the CTC decode, not a silent AR fallback: match
+    # a direct ctc_asr_infer call at the same padded bucket shape exactly
+    bucket = 24
+    for i, m in enumerate(mels):
+        mel_b = np.zeros((1, bucket, cfg.num_mels), np.float32)
+        mel_b[0, :len(m)] = m
+        (want_ids, want_lens), _ = C.ctc_asr_infer(
+            c_params, c_state, nn.Ctx.eval(), cfg,
+            jnp.asarray(mel_b), jnp.asarray([len(m)], jnp.int32))
+        want = np.asarray(want_ids[0, : int(want_lens[0])])
+        np.testing.assert_array_equal(outs[i], want)
 
 
 def test_hybrid_ctc_attention_sp_objective():

@@ -137,7 +137,11 @@ def main(argv: Optional[list] = None):
         ds = SyntheticSpeechDataset(size=args.synthetic_size, seed=0)
     else:
         from .dataset import LJSpeechDataset
-        ds = LJSpeechDataset(args.data_path, args.split)
+        from .splits import REFERENCE_SPLITS_DIR
+        local = os.path.join(args.data_path, "splits")
+        splits = local if os.path.isdir(local) else REFERENCE_SPLITS_DIR
+        ds = LJSpeechDataset(os.path.join(splits, args.split + ".csv"),
+                             os.path.join(args.data_path, "mel_cache"))
     write_shard((ds[i] for i in range(len(ds))), args.out)
     got = PackedShardDataset(args.out)
     print(f"wrote {args.out}: {len(got)} items, "

@@ -100,9 +100,8 @@ class Synthesizer:
         self.ctc_pv = ctc_pv
         self._tts_fn = (jax.jit(self._nar_tts_impl) if nar_pv is not None
                         else jax.jit(self._tts_impl))
-        if ctc_pv is not None:
-            self._asr_fn = jax.jit(self._ctc_asr_impl)
-        self._asr_fn = jax.jit(self._asr_impl)
+        self._asr_fn = (jax.jit(self._ctc_asr_impl) if ctc_pv is not None
+                        else jax.jit(self._asr_impl))
         self._asr_beam_fn = jax.jit(self._asr_beam_impl, static_argnums=(4,))
         self._lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(audio_params))
         # one jitted program per (rows, bucket): mel -> mag (CBHG vocoder or
@@ -302,7 +301,12 @@ class Synthesizer:
                 wavs = self._vocode_fn(self._lift, mel_b)
             wavs = np.asarray(wavs, np.float32)
             for i in range(n):
-                cut = p.hop_length * max(1, int(stop_lens[i]) - 1)
+                # AR stop_lens counts the stop-fired frame (cut excludes
+                # it, reference src/network.py:246-252); NAR out_lens is
+                # the exact frame count — keep every frame.
+                frames = (int(stop_lens[i]) if self.nar_pv is not None
+                          else int(stop_lens[i]) - 1)
+                cut = p.hop_length * max(1, frames)
                 w, _ = native.trim_silence(
                     wavs[i, :cut], frame_length=p.trim_frame_length,
                     hop=p.trim_hop_length, top_db=p.trim_top_db)

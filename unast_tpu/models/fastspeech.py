@@ -282,15 +282,20 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
     pad_mask = ~M.lens_to_mask(text_lens, tt)
 
     h, prenet_s = _encode(p, s, ctx, cfg, text, pad_mask)
+    # all variance predictors read the RAW (pre-conditioning) encoder
+    # output — the same input predict_variances regresses their training
+    # targets on; reading h after the pitch embedding is added would be a
+    # train/inference input mismatch when pitch+energy are both enabled
+    h_raw = h
 
-    log_dur = duration_predictor(p["dur"], ctx, h, pad_mask, cfg.d_drop)
+    log_dur = duration_predictor(p["dur"], ctx, h_raw, pad_mask, cfg.d_drop)
     if durations is None:
         durations = jnp.round(jnp.expm1(log_dur) / speed).astype(jnp.int32)
         durations = jnp.maximum(durations, 0) * (~pad_mask)
 
     if cfg.nar_pitch:
         if pitch_target is None:
-            pf = duration_predictor(p["pitch"], ctx, h, pad_mask,
+            pf = duration_predictor(p["pitch"], ctx, h_raw, pad_mask,
                                     cfg.d_drop)
             pf = jnp.where(pf > 0, pf + jnp.log(pitch_shift), pf)
         else:
@@ -307,7 +312,7 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
 
     if cfg.nar_energy:
         if energy_target is None:
-            ef = duration_predictor(p["energy"], ctx, h, pad_mask,
+            ef = duration_predictor(p["energy"], ctx, h_raw, pad_mask,
                                     cfg.d_drop) * energy_scale
         else:
             ef = energy_target.astype(jnp.float32)

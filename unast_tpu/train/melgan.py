@@ -223,7 +223,10 @@ def main(argv=None):
             if (i + 1) % 100 == 0:
                 print(f"adv step {i + 1}: " + " ".join(
                     f"{k} {float(v):.4f}" for k, v in sorted(m.items())))
-        vs = VocTrainState(ats.gen, vs.opt, ats.step)
+        # checkpoint the adversarial optimizer state with the fine-tuned
+        # generator — pairing ats.gen with the stale pre-adversarial
+        # vs.opt would resume with mismatched Adam moments
+        vs = VocTrainState(ats.gen, ats.gen_opt, ats.step)
 
     if args.checkpoint_path:
         save_ckp(0, float(m["voc/sc"]), vs, True, args.checkpoint_path)
