@@ -210,3 +210,23 @@ def test_fast_griffin_lim_momentum_converges_faster():
     fast = sc_err(p8.replace(gl_momentum=0.99))
     assert np.isfinite(fast)
     assert fast < plain * 0.8, (plain, fast)
+
+
+def test_mcd_properties():
+    """MCD (audio/metrics.py): zero on identity, positive and monotonic in
+    distortion size, robust to length mismatch (common-frame alignment)."""
+    from unast_tpu.audio.metrics import mcd, mel_cepstra
+    from unast_tpu.audio.params import DEFAULT as P
+
+    rng = np.random.default_rng(0)
+    mel = rng.random((50, 80)).astype(np.float32)
+    assert mcd(mel, mel, P) == 0.0
+    small = mcd(mel, np.clip(mel + 0.01 * rng.standard_normal(mel.shape),
+                             0, 1), P)
+    big = mcd(mel, np.clip(mel + 0.1 * rng.standard_normal(mel.shape),
+                           0, 1), P)
+    assert 0 < small < big
+    # common-length alignment (tiny residue: BLAS blocking differs with T)
+    assert mcd(mel, mel[:30], P) < 1e-9
+    c = mel_cepstra(mel, P)
+    assert c.shape == (50, 13) and np.isfinite(c).all()

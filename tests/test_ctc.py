@@ -202,3 +202,76 @@ def test_synthesizer_ctc_beam_path():
     outs = syn.asr_ids(mels, ctc_beam=4)
     assert len(outs) == 1 and outs[0].ndim == 1
     assert np.all(outs[0] < C.BLANK_ID)
+
+
+def _fa_oracle(lp, labels, t_len):
+    """Brute-force CTC Viterbi forced alignment for one utterance."""
+    u = len(labels)
+    s_dim = 2 * u + 1
+    lab = [C.BLANK_ID if s % 2 == 0 else labels[s // 2]
+           for s in range(s_dim)]
+    neg = -1e18
+    q = np.full((t_len, s_dim), neg)
+    back = np.zeros((t_len, s_dim), np.int64)
+    q[0, 0] = lp[0, lab[0]]
+    if s_dim > 1:
+        q[0, 1] = lp[0, lab[1]]
+    for t in range(1, t_len):
+        for s in range(s_dim):
+            cands = [(q[t - 1, s], 0)]
+            if s >= 1:
+                cands.append((q[t - 1, s - 1], 1))
+            if s >= 2 and s % 2 == 1 and lab[s] != lab[s - 2]:
+                cands.append((q[t - 1, s - 2], 2))
+            best, d = max(cands, key=lambda c: c[0])
+            q[t, s], back[t, s] = best + lp[t, lab[s]], d
+    s = 2 * u if q[t_len - 1, 2 * u] >= q[t_len - 1, 2 * u - 1] \
+        else 2 * u - 1
+    dur = np.zeros(u, np.int64)
+    for t in range(t_len - 1, 0, -1):
+        dur[min(max((s - 1) // 2, 0), u - 1)] += 1
+        s -= back[t, s]
+    dur[0] += 1  # frame 0 (state 0 or 1 -> token 0)
+    return dur
+
+
+def test_ctc_forced_align_matches_bruteforce():
+    """ctc_forced_align equals a per-utterance numpy Viterbi oracle on
+    random posteriors across ragged frame/label lengths."""
+    rng = np.random.default_rng(3)
+    b, t, u = 3, 14, 4
+    logits = rng.standard_normal((b, t, VOCAB_SIZE + 1)).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = np.array([[5, 6, 5, 7], [8, 8, 9, 0], [4, 0, 0, 0]], np.int32)
+    label_lens = np.array([4, 3, 1])
+    mel_lens = np.array([14, 10, 6])
+    fv = np.arange(t)[None, :] < mel_lens[:, None]
+    got = np.asarray(C.ctc_forced_align(lp, jnp.asarray(fv),
+                                        jnp.asarray(labels),
+                                        jnp.asarray(label_lens)))
+    lp_np = np.asarray(lp, np.float64)
+    for i in range(b):
+        want = _fa_oracle(lp_np[i], list(labels[i][:label_lens[i]]),
+                          int(mel_lens[i]))
+        np.testing.assert_array_equal(got[i, :label_lens[i]], want,
+                                      err_msg=f"row {i}")
+        assert got[i].sum() == mel_lens[i]
+        assert np.all(got[i, label_lens[i]:] == 0)
+
+
+def test_ctc_forced_align_clean_segments():
+    """On sharply-peaked posteriors matching a known segmentation, the
+    alignment recovers the true spans (blanks fold into the previous
+    token)."""
+    spans = {5: 4, 7: 3, 9: 5}
+    seq = [5] * 4 + [C.BLANK_ID] * 2 + [7] * 3 + [9] * 5
+    t = len(seq)
+    logits = np.full((1, t, VOCAB_SIZE + 1), -15.0, np.float32)
+    for i, k in enumerate(seq):
+        logits[0, i, k] = 15.0
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = jnp.asarray([[5, 7, 9]], jnp.int32)
+    dur = np.asarray(C.ctc_forced_align(
+        lp, jnp.ones((1, t), bool), labels, jnp.asarray([3])))[0]
+    np.testing.assert_array_equal(dur, [6, 3, 5])  # blanks -> token 0
+    assert dur.sum() == t

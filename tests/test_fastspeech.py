@@ -373,3 +373,104 @@ def test_soft_durations_sum_and_positivity():
     assert np.all(np.asarray(soft)[0, :4] > 0)
     assert np.all(np.asarray(soft)[1, :3] > 0)
     assert np.all(np.asarray(soft)[1, 3:] == 0)  # PAD token gets none
+
+
+def _mas_oracle(a, mel_len, text_len):
+    """Brute-force Viterbi oracle for one utterance: a [Tm, Tt] probs."""
+    la = np.log(np.clip(a, 1e-9, 1.0))
+    neg = -1e9
+    q = np.full((mel_len, text_len), neg)
+    back = np.zeros((mel_len, text_len), np.int64)
+    q[0, 0] = la[0, 0]
+    for t in range(1, mel_len):
+        for j in range(text_len):
+            stay = q[t - 1, j]
+            adv = q[t - 1, j - 1] if j > 0 else neg
+            if adv > stay:
+                q[t, j], back[t, j] = adv + la[t, j], 1
+            else:
+                q[t, j], back[t, j] = stay + la[t, j], 0
+    dur = np.zeros(a.shape[1], np.int64)
+    j = text_len - 1
+    for t in range(mel_len - 1, 0, -1):
+        dur[j] += 1
+        j -= back[t, j]
+    assert j == 0
+    dur[0] += 1
+    return dur, q[mel_len - 1, text_len - 1]
+
+
+def test_mas_durations_match_bruteforce_viterbi():
+    """mas_durations equals a per-utterance numpy Viterbi oracle on random
+    attention, across ragged mel/text lengths."""
+    b, tm, tt = 3, 12, 5
+    rng = np.random.default_rng(7)
+    a = rng.random((2, b, 2, tm, tt)).astype(np.float32)
+    a /= a.sum(-1, keepdims=True)
+    mel_len = np.array([12, 9, 5])
+    text_len = np.array([5, 3, 2])
+    got = np.asarray(F.mas_durations(jnp.asarray(a), jnp.asarray(mel_len),
+                                     jnp.asarray(text_len)))
+    mean_a = a.astype(np.float64).mean(axis=(0, 2))
+    for i in range(b):
+        want, _ = _mas_oracle(mean_a[i], int(mel_len[i]), int(text_len[i]))
+        np.testing.assert_array_equal(got[i], want, err_msg=f"row {i}")
+
+
+def test_mas_durations_every_token_covered():
+    """The forced-alignment property the argmax source lacks: every valid
+    token gets >= 1 frame and rows sum exactly to mel_len — even on
+    adversarially token-skipping attention."""
+    b, tm, tt = 1, 8, 4
+    a = np.zeros((1, b, 1, tm, tt), np.float32)
+    a[..., 0] = 1.0  # every frame argmaxes token 0: argmax would emit [8,0,0,0]
+    mel_len, text_len = jnp.array([8]), jnp.array([4])
+    dur = np.asarray(F.mas_durations(jnp.asarray(a), mel_len, text_len))[0]
+    assert dur.sum() == 8
+    assert np.all(dur[:4] >= 1), dur
+    hard = np.asarray(F.durations_from_attention(
+        jnp.asarray(a), mel_len, text_len))[0]
+    assert hard[0] == 8 and np.all(hard[1:] == 0)  # the failure MAS fixes
+
+
+def test_mas_durations_clean_diagonal_recovered():
+    """On clean monotonic attention MAS reproduces the true durations."""
+    spans = [3, 2, 4, 1]
+    tm, tt = sum(spans), 4
+    a = np.zeros((1, 1, 1, tm, tt), np.float32)
+    t0 = 0
+    for j, d in enumerate(spans):
+        a[0, 0, 0, t0:t0 + d, j] = 1.0
+        t0 += d
+    dur = np.asarray(F.mas_durations(
+        jnp.asarray(a), jnp.array([tm]), jnp.array([tt])))[0]
+    np.testing.assert_array_equal(dur, spans)
+
+
+def test_distill_step_mas_source_trains():
+    """make_distill_step with --nar_dur_source mas runs jitted and the
+    duration targets it regresses cover every token."""
+    import __graft_entry__ as g
+    from unast_tpu.models import unast as U
+    from unast_tpu.train.fastspeech import init_fs_state, make_distill_step
+
+    args, cfg = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 1e-3
+    args.nar_dur_source = "mas"
+    t_params, t_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+    step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
+    b, tt, tm = 2, 8, 24
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(5, 40, (b, tt)), jnp.int32),
+        "text_len": jnp.array([8, 6]),
+        "mel": jnp.asarray(rng.random((b, tm, cfg.num_mels)), jnp.float32),
+        "mel_len": jnp.array([24, 17]),
+    }
+    last = None
+    for i in range(3):
+        fs, m = step(fs, t_params, t_state, jax.random.PRNGKey(i), batch)
+        assert np.isfinite(float(m["nar/pre"])), m
+        last = float(m["nar/dur"])
+    assert np.isfinite(last)

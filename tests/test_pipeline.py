@@ -589,3 +589,52 @@ def test_prepare_f0_cache(tmp_path):
     assert len(it["f0"]) <= len(it["mel"])
     v = it["f0"][it["f0"] > 0]
     assert len(v) > 5 and 80 < np.median(v) < 600
+
+
+def test_pp_train_step_matches_unsharded():
+    """--pp 2: the FULL 4-objective train step with the encoder/decoder
+    stacks GPipe-staged over a (dp2, pp2) mesh must match the unsharded
+    sequential step's metrics (layer dropout zeroed: the pipelined stack
+    folds dropout keys per (layer, micro-batch) — a documented stream
+    deviation; every other rng stream is call-order identical)."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.parallel import (batch_shardings, make_mesh, set_pp_mesh,
+                                    shard_train_step)
+    from unast_tpu.train.config import model_config_from_args
+    from unast_tpu.train.steps import init_train_state, make_train_step
+
+    args, _ = g._tiny_cfg_args()
+    args.train_batch_size = 4
+    args.e_drop = args.d_drop = 0.0
+    # scan_layers for the reference too: both stack styles consume exactly
+    # ONE ctx.next_rng() per stack call, keeping every downstream rng
+    # stream (noise_fn, prenet dropout) call-order identical; the unrolled
+    # path consumes per-op counters instead.
+    args.scan_layers = True
+    cfg_seq = model_config_from_args(args)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg_seq, args)
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, use_discriminator=True))
+
+    _, ref_m = jax.jit(make_train_step(cfg_seq, args))(
+        ts, jax.random.PRNGKey(1), batches)
+    ref = {k: float(v) for k, v in ref_m.items()}
+
+    args.pp = 2
+    cfg_pp = model_config_from_args(args)
+    assert cfg_pp.pp == 2
+    mesh = make_mesh(2, 1, pp=2)
+    try:
+        step_fn = make_train_step(cfg_pp, args)
+        sharded_step, ts_sh = shard_train_step(step_fn, mesh, ts, batches)
+        b_sh = jax.device_put(batches, batch_shardings(mesh, batches))
+        _, pp_m = sharded_step(ts_sh, jax.random.PRNGKey(1), b_sh)
+        for k, v in ref.items():
+            np.testing.assert_allclose(float(pp_m[k]), v, rtol=2e-4,
+                                       atol=2e-4, err_msg=k)
+    finally:
+        set_pp_mesh(None)

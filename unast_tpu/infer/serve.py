@@ -13,7 +13,7 @@ while_loop; Griffin-Lim vocoding (via the CBHG vocoder if provided, else
 the mel pseudo-inverse lift) runs on device.
 """
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,8 @@ class Synthesizer:
                  text_buckets: Sequence[int] = (32, 64, 128, 304),
                  mel_buckets: Sequence[int] = (256, 512, 816),
                  max_batch: int = 8, mesh=None, quantize: str = None,
-                 nar_pv=None, melgan_params=None, ctc_pv=None):
+                 nar_pv=None, melgan_params=None, ctc_pv=None,
+                 melgan_chunk: Optional[int] = None):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
         Synthesizer then serves batches sharded across all chips (params
         replicated, request batch split over 'dp'; XLA runs each shard's
@@ -57,7 +58,17 @@ class Synthesizer:
         `ctc_pv`: optional (params, net_state) of a trained CTC ASR model
         (models/ctc.py, same cfg dims) — asr_ids then runs the one-pass
         greedy-CTC decode instead of the AR text decoder (beam > 1 still
-        routes to the AR beam search)."""
+        routes to the AR beam search).
+
+        `melgan_chunk`: time-chunked neural vocoding — the MelGAN forward
+        runs over boundary-truncated windows of this many mel frames
+        (batched over the chunk's utterances), EXACTLY reproducing the
+        whole-utterance forward (infer/streaming.py's contract) while
+        bounding the generator's [B, T*hop, C] activations per window.
+        This removes the serving batch knee: at batch 64 x 816 frames the
+        whole-utterance activations spill one chip's HBM and throughput
+        collapses (BENCHMARKS.md "batch knee"). None = auto (chunk only
+        when rows*frames exceeds the measured safe region); 0 = never."""
         self.cfg = cfg
         if quantize is not None:
             # int8 weight-only quantization (nn/quant.py): halves the
@@ -109,6 +120,7 @@ class Synthesizer:
         # one jit — eager ops are per-op compiles on the axon TPU backend.
         gl = jax.vmap(lambda m: dsp._mag_to_wav_core(m, audio_params))
         self.melgan_params = melgan_params
+        self.melgan_chunk = melgan_chunk
         if melgan_params is not None:
             from ..models import melgan as MG
             self._vocode_fn = jax.jit(
@@ -293,7 +305,7 @@ class Synthesizer:
                               max(1, int(stop_lens[:n].max())))
             mel_b = post[:, :tb]
             if self.melgan_params is not None:
-                wavs = self._vocode_fn(self.melgan_params, mel_b)
+                wavs = self._melgan_vocode(mel_b)
             elif self.vocoder_pv is not None:
                 vp, vs = self.vocoder_pv
                 wavs = self._vocode_fn(vp, vs, mel_b)
@@ -312,6 +324,39 @@ class Synthesizer:
                     hop=p.trim_hop_length, top_db=p.trim_top_db)
                 out.append(w)
         return out
+
+    # threshold (total mel frames per vocoder dispatch) above which the
+    # auto mode chunks: batch 32 x 816 frames (~26k) fits one v5e's HBM,
+    # batch 64 x 816 (~52k) spills and collapses 4x (BENCHMARKS.md)
+    _MELGAN_AUTO_FRAMES = 32768
+
+    def _melgan_vocode(self, mel_b):
+        """Neural vocoding of one padded chunk [rows, T, n_mels] -> wavs
+        [rows, T*hop]. When chunking is active, runs boundary-truncated
+        context windows (exactness contract of infer/streaming.py, here
+        batched over the rows) so the generator's activations are bounded
+        per dispatch — at most three window shapes compile."""
+        from .streaming import RECEPTIVE_FIELD
+        rows, t = mel_b.shape[0], mel_b.shape[1]
+        chunk = self.melgan_chunk
+        if chunk is None:
+            chunk = 256 if rows * t > self._MELGAN_AUTO_FRAMES else 0
+        if not chunk or t <= chunk:
+            return self._vocode_fn(self.melgan_params, mel_b)
+        hop = self.audio_params.hop_length
+        ctx = RECEPTIVE_FIELD
+        # every window is a TRUE slice of mel_b (edges at the bucket's
+        # real edges or >= ctx interior), so the concatenation is exactly
+        # melgan_forward(mel_b); window shapes per bucket: first /
+        # interior / last = at most three compiles
+        outs = []
+        for t0 in range(0, t, chunk):
+            a = max(0, t0 - ctx)
+            b = min(t, t0 + chunk + ctx)
+            wav = self._vocode_fn(self.melgan_params, mel_b[:, a:b])
+            lo = (t0 - a) * hop
+            outs.append(np.asarray(wav[:, lo:lo + chunk * hop]))
+        return np.concatenate(outs, axis=1)[:, : t * hop]
 
     def asr_ids(self, mels: List[np.ndarray], beam: int = 1,
                 ctc_beam: int = 1):

@@ -90,6 +90,21 @@ class ModelConfig:
     # HBM — the lever that admits large-width training on one chip.
     remat: bool = False
 
+    # Pipeline parallelism (GPipe schedule, parallel/pipeline.py): stage
+    # the transformer encoder/decoder layer stacks over `pp` contiguous
+    # stages inside the jitted train step. Micro-batches stream through
+    # the stages (vmap-over-stages formulation: the stage axis is a
+    # GSPMD-sharded leading dim, the stage->stage hop a jnp.roll that
+    # lowers to a collective-permute over the mesh's 'pp' axis). Composes
+    # with dp/tp; requires num_layers % pp == 0. The KV-cached greedy
+    # decode loops (cm pseudo-pair generation, serving) run unstaged —
+    # staging a [B, 1, D] decode step would serialize pp hops per frame
+    # for no FLOP win. 1 = off (reference has no parallelism, SURVEY
+    # §2.3). pp_micro: micro-batches per stack call (0 = auto: largest of
+    # 4*pp / 2*pp / pp dividing the batch).
+    pp: int = 1
+    pp_micro: int = 0
+
     # Mixture-of-Experts FFN (models/moe.py). moe_experts > 0 replaces the
     # dense transformer FFN with a Switch/GShard-style sparse FFN of that
     # many experts; expert-stacked weights shard over the mesh's 'ep' axis

@@ -126,6 +126,94 @@ def ctc_prefix_beam_search(log_probs: "np.ndarray", n_frames: int,
     return list(best)
 
 
+def ctc_forced_align(log_probs, frame_valid, labels, label_lens):
+    """Viterbi forced alignment over the standard CTC graph (the
+    MFA-style duration source for the FastSpeech NAR family — VERDICT r2
+    #1; models/fastspeech.py consumes the result via `durations=`).
+
+    log_probs: [B, T, V+1] log-softmax frame posteriors (blank=BLANK_ID);
+    frame_valid: bool [B, T]; labels: [B, U] gold ids (0=PAD);
+    label_lens: [B]. Finds the best alignment constrained to emit EXACTLY
+    the label sequence (expanded states blank,l1,blank,...,lU,blank with
+    the standard stay/advance/skip transitions) and counts frames per
+    token — blank-run frames are attributed to the PRECEDING token
+    (leading blanks to token 0), so rows sum exactly to the frame count.
+    Static-shape lax.scan DP (one forward pass storing transition
+    choices, one backward pass recovering the path), runs in-graph inside
+    the jitted distillation step. Returns int32 [B, U]."""
+    b, t, _ = log_probs.shape
+    u = labels.shape[1]
+    s_dim = 2 * u + 1
+    neg = jnp.float32(-1e9)
+    s_idx = jnp.arange(s_dim)
+    is_lab = (s_idx % 2) == 1
+    # token a state's frames count toward: label state 2k+1 -> token k;
+    # blank state 2k -> preceding token k-1 (clipped to 0 for the lead-in)
+    tok_of_state = jnp.clip((s_idx - 1) // 2, 0, u - 1)
+    lab_ids = jnp.where(is_lab[None, :],
+                        labels[:, jnp.clip(s_idx // 2, 0, u - 1)],
+                        BLANK_ID)  # [B, S]
+    s_valid = s_idx[None, :] < (2 * label_lens[:, None] + 1)
+    # skip (s-2 -> s) is legal only into a label state whose label differs
+    # from the label two states back (CTC's repeated-label rule)
+    prev2_lab = jnp.concatenate(
+        [jnp.full((b, 2), -1, lab_ids.dtype), lab_ids[:, :-2]], axis=1)
+    skip_ok = is_lab[None, :] & (s_idx >= 2)[None, :] & \
+        (lab_ids != prev2_lab)
+
+    emit = jnp.take_along_axis(
+        log_probs.astype(jnp.float32),
+        jnp.broadcast_to(lab_ids[:, None, :], (b, t, s_dim)),
+        axis=2)  # [B, T, S]
+
+    q0 = jnp.where((s_idx[None, :] <= 1) & s_valid, emit[:, 0], neg)
+
+    def fwd(q, inputs):
+        e_t, valid_t = inputs  # [B, S], [B]
+        prev1 = jnp.concatenate(
+            [jnp.full((b, 1), neg), q[:, :-1]], axis=1)
+        prev2 = jnp.concatenate(
+            [jnp.full((b, 2), neg), q[:, :-2]], axis=1)
+        prev2 = jnp.where(skip_ok, prev2, neg)
+        best = jnp.maximum(q, jnp.maximum(prev1, prev2))
+        delta = jnp.where(prev2 >= best, 2,
+                          jnp.where(prev1 >= best, 1, 0)).astype(jnp.int8)
+        q_new = jnp.where(s_valid, best + e_t, neg)
+        # PAD frames carry the lattice unchanged (stay-only, score 0) so
+        # the path position at frame T-1 equals the last valid frame's
+        q_next = jnp.where(valid_t[:, None], q_new, q)
+        delta = jnp.where(valid_t[:, None], delta, jnp.int8(0))
+        return q_next, delta
+
+    q_fin, deltas = jax.lax.scan(
+        fwd, q0, (jnp.swapaxes(emit, 0, 1)[1:],
+                  jnp.swapaxes(frame_valid, 0, 1)[1:]))
+    # end in the last blank (2*U_b) or last label (2*U_b - 1), whichever
+    # scored higher
+    e_blank = jnp.clip(2 * label_lens, 0, s_dim - 1)
+    e_label = jnp.clip(2 * label_lens - 1, 0, s_dim - 1)
+    qb = jnp.take_along_axis(q_fin, e_blank[:, None], axis=1)[:, 0]
+    ql = jnp.take_along_axis(q_fin, e_label[:, None], axis=1)[:, 0]
+    j0 = jnp.where(qb >= ql, e_blank, e_label).astype(jnp.int32)
+
+    def bwd(j, inputs):
+        d_t, valid_t = inputs  # [B, S], [B]
+        count_row = jax.nn.one_hot(tok_of_state[j], u, dtype=jnp.int32) * \
+            valid_t[:, None].astype(jnp.int32)
+        step = jnp.take_along_axis(d_t, j[:, None], axis=1)[:, 0]
+        return j - step.astype(jnp.int32), count_row
+
+    j_first, counts = jax.lax.scan(
+        bwd, j0, (deltas[::-1],
+                  jnp.swapaxes(frame_valid, 0, 1)[1:][::-1]))
+    dur = jnp.sum(counts, axis=0)
+    # frame 0 sits in state 0 (lead blank) or 1 (first label): token 0
+    dur = dur + jax.nn.one_hot(jnp.zeros((b,), jnp.int32), u,
+                               dtype=jnp.int32) * \
+        frame_valid[:, 0][:, None].astype(jnp.int32)
+    return dur * M.lens_to_mask(label_lens, u).astype(jnp.int32)
+
+
 def ctc_loss(logits, frame_pad_mask, labels, label_lens):
     """Mean per-sequence CTC loss. labels: [B, N] gold ids (0=PAD)."""
     label_pad = (~M.lens_to_mask(label_lens, labels.shape[1])

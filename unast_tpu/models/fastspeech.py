@@ -143,6 +143,76 @@ def durations_from_attention(attn, mel_len, text_len, soft: bool = False):
     return base.astype(jnp.int32) + bump
 
 
+def mas_durations(attn, mel_len, text_len):
+    """Monotonic alignment search (Glow-TTS-style Viterbi) over teacher
+    cross-attention posteriors — the forced-alignment duration source.
+
+    attn: [L, B, H, Tm, Tt] cross-attention probs (same input as
+    durations_from_attention). Finds, per utterance, the best MONOTONIC
+    SURJECTIVE frame->token path: every frame t maps to a token j(t) with
+    j(0)=0, j(t) - j(t-1) in {0, 1}, and j(mel_len-1) = text_len-1 —
+    maximizing sum_t log a[t, j(t)]. Unlike per-frame argmax (which can
+    skip or revisit tokens and memorizes attention noise — the measured
+    held-out collapse in BENCHMARKS.md) the path is guaranteed to visit
+    every token at least once with a globally-optimal assignment, so every
+    duration is >= 1 and rows sum exactly to mel_len.
+
+    Pure lax.scan dynamic program (one forward pass storing the
+    stay/advance decisions, one backward pass recovering the path and
+    counting frames per token) — static shapes, runs in-graph inside the
+    jitted distillation step. Returns int32 [B, Tt] durations."""
+    a = jnp.mean(attn.astype(jnp.float32), axis=(0, 2))  # [B, Tm, Tt]
+    b, tm, tt = a.shape
+    neg = jnp.float32(-1e9)
+    text_valid = M.lens_to_mask(text_len, tt)  # [B, Tt]
+    frame_valid = M.lens_to_mask(mel_len, tm)  # [B, Tm]
+    log_a = jnp.log(jnp.clip(a, 1e-9, 1.0))
+    log_a = jnp.where(text_valid[:, None, :], log_a, neg)
+    # PAD frames carry the path position unchanged (score 0, stay-only):
+    # the path position at frame Tm-1 then equals the position at the
+    # last VALID frame, so backtracking can start from a static index.
+    log_a = jnp.where(frame_valid[:, :, None], log_a, 0.0)
+
+    j_idx = jnp.arange(tt)
+    q0 = jnp.where(j_idx == 0, log_a[:, 0, :], neg)  # path starts at token 0
+
+    def fwd(q, inputs):
+        la_t, valid_t = inputs  # [B, Tt], [B]
+        stay = q
+        advance = jnp.concatenate(
+            [jnp.full((b, 1), neg), q[:, :-1]], axis=1)
+        # PAD frames: force stay (advance forbidden) so position holds.
+        advance = jnp.where(valid_t[:, None], advance, neg)
+        from_prev = advance > stay  # [B, Tt] True = diagonal move
+        return jnp.maximum(stay, advance) + la_t, from_prev
+
+    _, from_prev = jax.lax.scan(
+        fwd, q0,
+        (jnp.swapaxes(log_a, 0, 1)[1:], jnp.swapaxes(frame_valid, 0, 1)[1:]))
+    # from_prev: [Tm-1, B, Tt] decisions for frames 1..Tm-1
+
+    end_j = jnp.maximum(text_len.astype(jnp.int32) - 1, 0)  # [B]
+
+    def bwd(j, inputs):
+        fp_t, valid_t = inputs  # [B, Tt], [B]
+        took_diag = jnp.take_along_axis(fp_t, j[:, None], axis=1)[:, 0]
+        j_prev = j - took_diag.astype(jnp.int32)
+        # counted token for THIS frame is j (only if the frame is valid)
+        count_row = jax.nn.one_hot(j, tt, dtype=jnp.int32) * \
+            valid_t[:, None].astype(jnp.int32)
+        return j_prev, count_row
+
+    j_last, counts = jax.lax.scan(
+        bwd, end_j,
+        (from_prev[::-1], jnp.swapaxes(frame_valid, 0, 1)[1:][::-1]))
+    dur = jnp.sum(counts, axis=0)  # frames 1..Tm-1
+    # frame 0 always belongs to token 0 (and j_last == 0 by construction)
+    dur = dur + jax.nn.one_hot(jnp.zeros((b,), jnp.int32), tt,
+                               dtype=jnp.int32) * \
+        frame_valid[:, 0][:, None].astype(jnp.int32)
+    return dur * text_valid.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Model
 # ---------------------------------------------------------------------------

@@ -85,7 +85,8 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
                        scan_layers=cfg.scan_layers, remat=cfg.remat,
-                       moe_opts=cfg.moe_opts)
+                       moe_opts=cfg.moe_opts, pp=cfg.pp,
+                       pp_micro=cfg.pp_micro)
     return (memory, pad_mask), {"prenet": prenet_s}
 
 
@@ -103,7 +104,8 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
                   scan_layers=cfg.scan_layers, remat=cfg.remat,
                   cross_weights_out=cross_weights_out,
-                  moe_opts=cfg.moe_opts)
+                  moe_opts=cfg.moe_opts, pp=cfg.pp,
+                  pp_micro=cfg.pp_micro)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
 
@@ -296,7 +298,8 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
                        scan_layers=cfg.scan_layers, remat=cfg.remat,
-                       moe_opts=cfg.moe_opts)
+                       moe_opts=cfg.moe_opts, pp=cfg.pp,
+                       pp_micro=cfg.pp_micro)
     return (memory, pad_mask), s
 
 
@@ -324,7 +327,8 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
                   cfg.nhead, cfg.d_drop, impl=cfg.attn_impl,
                   scan_layers=cfg.scan_layers, remat=cfg.remat,
                   cross_weights_out=cross_weights_out,
-                  moe_opts=cfg.moe_opts)
+                  moe_opts=cfg.moe_opts, pp=cfg.pp,
+                  pp_micro=cfg.pp_micro)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     pre = pre.reshape(b, t, cfg.num_mels)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)

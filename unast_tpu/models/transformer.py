@@ -207,7 +207,8 @@ def _layer_ctx(base, train: bool, li, collect: bool = False):
 
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
             impl: str = "xla", scan_layers: bool = False,
-            remat: bool = False, moe_opts=(1, 1.25)):
+            remat: bool = False, moe_opts=(1, 1.25), pp: int = 1,
+            pp_micro: int = 0):
     """x: [B, T, D], pad_mask: bool [B, T] True=PAD.
 
     scan_layers=True runs the stack as a lax.scan over stacked layer params:
@@ -218,10 +219,30 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
     layer are recomputed in the backward pass instead of saved — the
     standard TPU HBM lever (trades ~1/3 extra FLOPs for O(L) less
     activation memory), which is what admits large-width training on one
-    chip (BENCHMARKS.md width sweep)."""
+    chip (BENCHMARKS.md width sweep).
+
+    pp > 1 runs the stack as a GPipe pipeline over the mesh's 'pp' axis
+    (parallel/pipeline.py::gpipe_stack; MoE stacks fall back to the
+    sequential path — their aux-loss collection doesn't thread through
+    the tick loop)."""
     bias = padding_bias(pad_mask)
     kv_lens = jnp.sum(~pad_mask, axis=1) if impl == "flash" else None
     collect = ctx.aux_losses is not None and _has_moe(p)
+    if pp > 1 and not _has_moe(p):
+        from ..parallel.pipeline import gpipe_stack
+
+        def one(lp, lctx, x_mb, bias_mb, kvl_mb, pad_mb):
+            return encoder_layer(lp, lctx, x_mb, bias_mb, nhead, dropout_p,
+                                 impl=impl,
+                                 kv_lens=kvl_mb if impl == "flash" else None,
+                                 pad_mask=pad_mb, moe_opts=moe_opts)
+
+        margs = (bias,
+                 kv_lens if kv_lens is not None
+                 else jnp.zeros((x.shape[0],), jnp.int32),
+                 pad_mask)
+        return gpipe_stack(_stack_layers(p["layers"]), len(p["layers"]),
+                           pp, ctx, x, margs, one, n_micro=pp_micro)
     if not scan_layers:
         if remat:
             rng_base = ctx.next_rng() if ctx.rng is not None else None
@@ -318,12 +339,17 @@ def decoder_init(key, d_model: int, nhead: int, ffn_dim: int, nlayers: int,
 def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
             nhead: int, dropout_p: float, impl: str = "xla",
             scan_layers: bool = False, cross_weights_out=None,
-            remat: bool = False, moe_opts=(1, 1.25)):
+            remat: bool = False, moe_opts=(1, 1.25), pp: int = 1,
+            pp_micro: int = 0):
     """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D].
     If `cross_weights_out` is a list, per-layer cross-attention probs
     [B, H, Tt, Ts] (f32) are appended — consumed by the guided-attention
     loss. remat: see encoder (disabled when cross_weights_out is requested
-    — the guided-attention loss needs the probs saved)."""
+    — the guided-attention loss needs the probs saved). pp > 1: GPipe
+    staging over the 'pp' mesh axis (see encoder; falls back to the
+    sequential path when cross_weights_out is requested — reassembling
+    per-(stage, micro) probs through the tick loop isn't worth the
+    memory churn — or when the stack carries MoE aux losses)."""
     t = x.shape[1]
     self_bias = causal_bias(t) + padding_bias(tgt_pad_mask)
     cross_bias = padding_bias(mem_pad_mask)
@@ -333,6 +359,27 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
         mem_lens = jnp.sum(~mem_pad_mask, axis=1)
     remat = remat and cross_weights_out is None
     collect = ctx.aux_losses is not None and _has_moe(p)
+    if pp > 1 and cross_weights_out is None and not _has_moe(p):
+        from ..parallel.pipeline import gpipe_stack
+        b = x.shape[0]
+        sb = jnp.broadcast_to(self_bias,
+                              (b,) + self_bias.shape[1:])  # [B, 1, T, T]
+
+        def one(lp, lctx, x_mb, mem_mb, sb_mb, cb_mb, tl_mb, ml_mb, pad_mb):
+            flash = impl == "flash"
+            return decoder_layer(lp, lctx, x_mb, mem_mb, sb_mb, cb_mb,
+                                 nhead, dropout_p, impl=impl,
+                                 tgt_lens=tl_mb if flash else None,
+                                 mem_lens=ml_mb if flash else None,
+                                 pad_mask=pad_mb, moe_opts=moe_opts)
+
+        zeros_b = jnp.zeros((b,), jnp.int32)
+        margs = (memory, sb, cross_bias,
+                 tgt_lens if tgt_lens is not None else zeros_b,
+                 mem_lens if mem_lens is not None else zeros_b,
+                 tgt_pad_mask)
+        return gpipe_stack(_stack_layers(p["layers"]), len(p["layers"]),
+                           pp, ctx, x, margs, one, n_micro=pp_micro)
     if not scan_layers:
         if remat:
             rng_base = ctx.next_rng() if ctx.rng is not None else None

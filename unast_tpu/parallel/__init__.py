@@ -15,8 +15,10 @@ from .mesh import (
     replicated,
     shard_train_step,
 )
-from .pipeline import make_pp_mesh, pipeline_encoder, stack_for_pipeline
+from .pipeline import (gpipe_stack, make_pp_mesh, pipeline_encoder,
+                       set_pp_mesh, stack_for_pipeline)
 
 __all__ = ["make_mesh", "train_state_shardings", "batch_shardings",
            "replicated", "shard_train_step",
-           "make_pp_mesh", "pipeline_encoder", "stack_for_pipeline"]
+           "make_pp_mesh", "pipeline_encoder", "stack_for_pipeline",
+           "gpipe_stack", "set_pp_mesh"]

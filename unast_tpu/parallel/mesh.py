@@ -49,18 +49,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: int, tp: int = 1, sp: int = 1, ep: int = 1,
-              devices=None) -> Mesh:
-    """(dp, tp[, ep][, sp]) mesh. The 'ep' (expert-parallel, models/moe.py)
-    and 'sp' axes are only materialized when > 1 so existing two-axis meshes
-    keep their exact shape."""
+              pp: int = 1, devices=None) -> Mesh:
+    """(dp, tp[, ep][, sp][, pp]) mesh. The 'ep' (expert-parallel,
+    models/moe.py), 'sp', and 'pp' (GPipe stages, parallel/pipeline.py)
+    axes are only materialized when > 1 so existing two-axis meshes keep
+    their exact shape."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp * ep * sp
+    n = dp * tp * ep * sp * pp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
     dims = [("dp", dp), ("tp", tp)]
     if ep > 1:
         dims.append(("ep", ep))
     if sp > 1:
         dims.append(("sp", sp))
+    if pp > 1:
+        dims.append(("pp", pp))
     arr = np.asarray(devices[:n]).reshape([d for _, d in dims])
     return Mesh(arr, tuple(name for name, _ in dims))
 
@@ -183,7 +186,12 @@ def shard_train_step(train_step, mesh: Mesh, ts, example_batches,
                      zero: int = 0):
     """jit the train step with explicit in/out shardings over the mesh.
     Returns (sharded_step, placed_train_state). zero in {0, 1, 3} selects
-    ZeRO-1 moment sharding / FSDP param sharding over the 'dp' axis."""
+    ZeRO-1 moment sharding / FSDP param sharding over the 'dp' axis.
+    When the mesh carries a 'pp' axis it is installed as the pipeline
+    mesh (pipeline.set_pp_mesh) so cfg.pp>1 stacks place their stage
+    constraints — captured when jit traces the step."""
+    from .pipeline import set_pp_mesh
+    set_pp_mesh(mesh)
     ts_sh = train_state_shardings(mesh, ts, zero=zero)
     b_sh = batch_shardings(mesh, example_batches)
     ts_placed = jax.device_put(ts, ts_sh)

@@ -33,6 +33,124 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import nn
 from ..models import transformer as T
 
+# ---------------------------------------------------------------------------
+# In-train-step pipelining (cfg.pp > 1): the transformer stacks call
+# gpipe_stack (below) from models/transformer.py. The stage axis is a
+# GSPMD-sharded leading dim; these helpers carry the active mesh so the
+# sharding constraints can be placed without threading a Mesh through
+# every model signature. shard_train_step sets it when the mesh has a
+# 'pp' axis; None (the default) runs the same schedule unsharded (the
+# single-host test substrate).
+# ---------------------------------------------------------------------------
+
+_PP_MESH = None
+
+
+def set_pp_mesh(mesh):
+    """Install (or clear, with None) the mesh used by in-step pipeline
+    sharding constraints. Captured at trace time."""
+    global _PP_MESH
+    _PP_MESH = mesh if (mesh is not None and "pp" in mesh.shape) else None
+
+
+def _pp_stage_constraint(tree):
+    """Constrain the leading (stage) axis of every leaf over 'pp',
+    leaving the other dims to GSPMD propagation (so tp/dp splits on the
+    trailing dims survive)."""
+    if _PP_MESH is None:
+        return tree
+    mesh = _PP_MESH
+    U = P.UNCONSTRAINED
+
+    def c(a):
+        spec = P(*(("pp",) + (U,) * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(c, tree)
+
+
+def gpipe_stack(stacked, n_layers: int, pp: int, ctx: nn.Ctx, x,
+                micro_args, layer_fn, n_micro: int = 0):
+    """Run a transformer layer stack as a GPipe pipeline inside a GSPMD
+    program (the cfg.pp > 1 path of models/transformer.py::encoder /
+    decoder).
+
+    stacked: pytree with leading [L] layer axis (transformer._stack_layers
+    output). x: [B, T, D]. micro_args: tuple of arrays with leading batch
+    dim B that each layer needs alongside x (encoder: the padding bias;
+    decoder: memory + self/cross biases) — micro-sliced in lockstep with x.
+    layer_fn(lp, lctx, x_mb, *marg_mb) -> x_mb runs ONE layer.
+
+    Formulation: vmap over a [S]-leading stage axis (sharded over 'pp'
+    when a mesh is installed) computes all stages each tick; micro-batch
+    k enters stage 0 at tick k and exits stage S-1 at tick k+S-1; the
+    stage->stage activation hop is jnp.roll over the stage axis, which
+    GSPMD lowers to a collective-permute over ICI. M+S-1 ticks total,
+    bubble (S-1)/(M+S-1) — the classic fill-and-drain schedule, fully
+    differentiable (roll transposes to the reverse rotation, giving the
+    GPipe backward drain for free).
+
+    Per-layer dropout keys fold (global_layer * M + micro) from one base
+    key — micro-batches get independent masks (deviation from the
+    sequential stack's one-mask-per-layer, same as the standalone
+    pipeline_encoder; identical numerics at dropout 0 / eval).
+
+    Returns [B, T, D]."""
+    assert n_layers % pp == 0, f"{n_layers} layers over {pp} stages"
+    per_stage = n_layers // pp
+    b = x.shape[0]
+    if n_micro <= 0:
+        n_micro = next((m for m in (4 * pp, 2 * pp, pp) if b % m == 0), 1)
+    assert b % n_micro == 0, f"batch {b} not divisible into {n_micro} micros"
+    mb = b // n_micro
+
+    staged = jax.tree_util.tree_map(
+        lambda a: a.reshape((pp, per_stage) + a.shape[1:]), stacked)
+    staged = _pp_stage_constraint(staged)
+    xs = x.reshape((n_micro, mb) + x.shape[1:])
+    margs = tuple(a.reshape((n_micro, mb) + a.shape[1:]) for a in micro_args)
+    rng_base = ctx.next_rng() if ctx.rng is not None else None
+
+    def stage_fn(sp_tree, sidx, mbi, x_mb, marg_mb):
+        def body(x_c, scan_in):
+            lp, li = scan_in
+            gli = sidx * per_stage + li
+            lctx = T._layer_ctx(rng_base, ctx.train, gli * n_micro + mbi)
+            return layer_fn(lp, lctx, x_c, *marg_mb), None
+
+        x_mb, _ = jax.lax.scan(body, x_mb,
+                               (sp_tree, jnp.arange(per_stage)))
+        return x_mb
+
+    v_stage = jax.vmap(stage_fn)
+    sidx_arr = jnp.arange(pp)
+    buf = jnp.zeros((pp, mb) + x.shape[1:], x.dtype)
+    out = jnp.zeros_like(xs)
+
+    def pick(a, idx):
+        """a: [M, ...], idx: [S] -> [S, ...] (per-stage micro gather)."""
+        return jax.vmap(
+            lambda i: jax.lax.dynamic_index_in_dim(a, i, keepdims=False)
+        )(idx)
+
+    def tick(k, state):
+        buf, out = state
+        inj = jax.lax.dynamic_index_in_dim(
+            xs, jnp.minimum(k, n_micro - 1), keepdims=False)
+        sel = (sidx_arr == 0).reshape((-1,) + (1,) * (buf.ndim - 1))
+        buf = jnp.where(sel, inj[None].astype(buf.dtype), buf)
+        mbi = jnp.clip(k - sidx_arr, 0, n_micro - 1)  # [S]
+        marg_mb = tuple(pick(a, mbi) for a in margs)
+        y = v_stage(staged, sidx_arr, mbi, buf, marg_mb)
+        done = jnp.clip(k - (pp - 1), 0, n_micro - 1)
+        upd = jax.lax.dynamic_update_index_in_dim(
+            out, y[-1].astype(out.dtype), done, axis=0)
+        out = jnp.where(k >= pp - 1, upd, out)
+        return jnp.roll(y, 1, axis=0), out
+
+    _, out = jax.lax.fori_loop(0, n_micro + pp - 1, tick, (buf, out))
+    return out.reshape(x.shape)
+
 
 def _pvary(x):
     """Mark a shard_map-local array as varying over 'pp' (jax>=0.8 tracks

@@ -153,6 +153,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="sequence-parallel mesh size (time axis sharded over 'sp')")
     add("--ep", type=int, default=1,
         help="expert-parallel mesh size (MoE expert axis sharded over 'ep')")
+    add("--pp", type=int, default=1,
+        help="pipeline-parallel stages: GPipe-stage the transformer "
+             "encoder/decoder stacks inside the train step over the "
+             "mesh's 'pp' axis (requires num_layers %% pp == 0)")
+    add("--pp_micro", type=int, default=0,
+        help="micro-batches per pipelined stack call (0 = auto: largest "
+             "of 4*pp/2*pp/pp dividing the batch)")
     add("--zero", type=int, default=0, choices=[0, 1, 3],
         help="ZeRO/FSDP state sharding over the dp axis: 1 shards the "
              "Adam moments (dp-x less optimizer HBM), 3 also shards the "
@@ -205,7 +212,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=False,
         help="distill EXPECTED attention mass per token instead of "
              "argmax counts (smoother; generalizes better on noisy "
-             "teacher alignments)")
+             "teacher alignments); alias for --nar_dur_source soft")
+    add("--nar_dur_source", choices=("argmax", "soft", "mas", "ctc"),
+        default=None,
+        help="NAR duration distillation source: per-frame argmax counts "
+             "(FastSpeech 1), expected attention mass (soft), "
+             "monotonic-alignment-search Viterbi over the teacher "
+             "attention (mas), or CTC forced alignment off the "
+             "teacher's hybrid CTC head (ctc — needs a teacher trained "
+             "with --ctc_weight > 0; the generalization-safe source per "
+             "the BENCHMARKS.md held-out ladder)")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,
@@ -279,4 +295,6 @@ def model_config_from_args(args):
         moe_impl=getattr(args, "moe_impl", "dispatch") or "dispatch",
         moe_group_size=getattr(args, "moe_group_size", 0) or 0,
         reduction_factor=getattr(args, "reduction_factor", 1) or 1,
+        pp=getattr(args, "pp", 1) or 1,
+        pp_micro=getattr(args, "pp_micro", 0) or 0,
     )

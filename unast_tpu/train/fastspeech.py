@@ -56,7 +56,8 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
     (the BatchIterator layout). jit with donate_argnums=(0,)."""
     tx = make_optimizer(args, make_schedule(args))
     dur_w = float(getattr(args, "nar_dur_weight", 1.0) or 1.0)
-    soft = bool(getattr(args, "nar_soft_durations", False))
+    source = getattr(args, "nar_dur_source", None) or (
+        "soft" if getattr(args, "nar_soft_durations", False) else "argmax")
 
     def step(fs: FSTrainState, t_params, t_state, rng, batch):
         text = batch["text"]
@@ -65,11 +66,33 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
         mel_len = batch["mel_len"]
 
         # Teacher alignment (no dropout, running BN stats, no grads).
-        ws = []
-        U.tts(t_params, t_state, nn.Ctx.eval(), teacher_cfg, text, text_len,
-              mel, mel_len, cross_weights_out=ws)
-        dur = F.durations_from_attention(jnp.stack(ws), mel_len, text_len,
-                                         soft=soft)
+        if source == "ctc":
+            # CTC forced alignment off the teacher's hybrid CTC head
+            # (requires a teacher trained with --ctc_weight > 0): frame
+            # posteriors are grounded in the AUDIO->TEXT direction, so
+            # the durations don't inherit the TTS cross-attention's
+            # diffuseness (the measured held-out collapse of the
+            # argmax/mas sources, BENCHMARKS.md generalization ladder).
+            from ..models import ctc as CT
+            from ..models import networks as N
+            ectx = nn.Ctx.eval()
+            (mem, pad), _ = N.speech_encode(
+                t_params["speech_m"], t_state["speech_m"], ectx,
+                teacher_cfg, mel, mel_len)
+            logits = nn.linear(t_params["speech_m"]["ctc_head"],
+                               mem).astype(jnp.float32)
+            dur = CT.ctc_forced_align(jax.nn.log_softmax(logits, axis=-1),
+                                      ~pad, text, text_len)
+        else:
+            ws = []
+            U.tts(t_params, t_state, nn.Ctx.eval(), teacher_cfg, text,
+                  text_len, mel, mel_len, cross_weights_out=ws)
+            attn = jnp.stack(ws)
+            if source == "mas":
+                dur = F.mas_durations(attn, mel_len, text_len)
+            else:
+                dur = F.durations_from_attention(attn, mel_len, text_len,
+                                                 soft=(source == "soft"))
         dur = jax.lax.stop_gradient(dur)
 
         tv = lens_to_mask(text_len, text.shape[1]).astype(jnp.float32)
