@@ -1,0 +1,202 @@
+"""Reference-scale rehearsal on the REAL LJSpeech transcripts (VERDICT r2
+#2): the experiment shape the reference actually runs — 12,500 train
+utterances (src/get_dataset.sh:9-11, src/data/splits/full_train.csv) —
+flows through the full pipeline end to end:
+
+  A. G2P over ALL 13,100 real transcripts in the in-package split CSVs:
+     coverage stats (lexicon hit / rule fallback / unmapped-char rate),
+     throughput, memoization footprint.
+  B. Shape-matched audio synthesis for full_train (synthetic harmonic
+     stacks over the REAL phonemized texts — audio content is synthetic,
+     every SHAPE is real), then the offline preprocessor
+     (data/prepare.py, device DSP, --no_mag) and the packed-shard writer.
+  C. One full 4-objective "epoch" at flagship scale on the chip: enough
+     outer steps for the unsupervised stream to traverse the 12.5k-item
+     shard once, at the reference's FULL 816-frame / 304-token caps.
+
+Writes nothing into the repo; scratch lives under --workdir (default
+/root/rehearsal). Run: python scripts/corpus_rehearsal.py
+[--phase a|b|c|all] [--limit N for a fast smoke]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+from unast_tpu.data.splits import REFERENCE_SPLITS_DIR
+from unast_tpu.data.dataset import load_manifest
+
+ALL_SPLITS = ("full_train", "val", "test")
+
+
+def phase_a(args):
+    """G2P coverage over every real transcript."""
+    from unast_tpu.text import raw_text_to_phoneme_ids
+    from unast_tpu.text.cleaners import clean_text
+    from unast_tpu.text.phonemizer import (CORE_LEXICON, _runtime_lexicon,
+                                           _word_re)
+    from unast_tpu.text.symbols import symbols
+
+    rows = []
+    for s in ALL_SPLITS:
+        rows += load_manifest(os.path.join(REFERENCE_SPLITS_DIR, s + ".csv"))
+    if args.limit:
+        rows = rows[:args.limit]
+    n_words = lex_hits = 0
+    token_counts, star_words = [], 0
+    uniq_oov = set()
+    t0 = time.perf_counter()
+    for fid, text in rows:
+        cleaned = clean_text(text, ["english_cleaners"])
+        for m in _word_re.finditer(cleaned):
+            w = m.group(0).lower()
+            n_words += 1
+            if w in CORE_LEXICON or w in _runtime_lexicon:
+                lex_hits += 1
+            else:
+                uniq_oov.add(w)
+        ids = raw_text_to_phoneme_ids(text)
+        token_counts.append(len(ids))
+        star_words += sum(1 for t in ids if symbols[t] == "*")
+    dt = time.perf_counter() - t0
+    tc = np.asarray(token_counts)
+    stats = {
+        "transcripts": len(rows),
+        "g2p_seconds": round(dt, 1),
+        "transcripts_per_s": round(len(rows) / dt, 1),
+        "words": n_words,
+        "lexicon_hit_rate": round(lex_hits / n_words, 4),
+        "rule_fallback_rate": round(1 - lex_hits / n_words, 4),
+        "unique_rule_fallback_words": len(uniq_oov),
+        "fail_char_rate": round(star_words / max(1, int(tc.sum())), 6),
+        "tokens_per_utt": {"mean": round(float(tc.mean()), 1),
+                           "p50": int(np.percentile(tc, 50)),
+                           "p95": int(np.percentile(tc, 95)),
+                           "max": int(tc.max())},
+        "over_304_cap_pct": round(float((tc > 304).mean() * 100), 2),
+    }
+    print("[A] G2P coverage:", json.dumps(stats, indent=2))
+    return stats
+
+
+def phase_b(args):
+    """Synthesize shape-matched audio for full_train, run prepare +
+    shard."""
+    from unast_tpu.data import prepare
+    from unast_tpu.infer.synthesize import write_wav
+    from unast_tpu.text import raw_text_to_phoneme_ids
+
+    rows = load_manifest(os.path.join(REFERENCE_SPLITS_DIR,
+                                      "full_train.csv"))
+    if args.limit:
+        rows = rows[:args.limit]
+    root = args.workdir
+    wavs = os.path.join(root, "wavs")
+    os.makedirs(wavs, exist_ok=True)
+    rng = np.random.default_rng(0)
+    from unast_tpu.data.dataset import synth_audio
+    t0 = time.perf_counter()
+    kept = []
+    for i, (fid, text) in enumerate(rows):
+        path = os.path.join(wavs, fid + ".wav")
+        kept.append(f"{fid}|{text}|{text}")
+        if not os.path.exists(path):  # resumable
+            ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
+            wav = synth_audio(ids, 22050, rng, phoneme_dur_s=0.04)
+            # LJSpeech clips are <= ~10.1 s; cap synthetic audio the same
+            write_wav(path, wav[: int(10.0 * 22050)])
+        if (i + 1) % 1000 == 0:
+            print(f"[B] synth {i + 1}/{len(rows)}", file=sys.stderr)
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("\n".join(kept) + "\n")
+    t_synth = time.perf_counter() - t0
+    print(f"[B] audio synthesis: {len(rows)} clips in {t_synth:.0f}s")
+
+    cache = os.path.join(root, "mel_cache")
+    shard = os.path.join(root, "full_train.unsh")
+    t0 = time.perf_counter()
+    prepare.main(["--data_path", root, "--cache_dir", cache, "--no_mag",
+                  "--shard_out", shard])
+    t_prep = time.perf_counter() - t0
+    print(f"[B] prepare+shard: {t_prep:.0f}s total "
+          f"({len(rows) / t_prep:.1f} clips/s end-to-end), shard "
+          f"{os.path.getsize(shard) / 1e6:.0f} MB")
+    return {"clips": len(rows), "synth_s": round(t_synth, 1),
+            "prepare_shard_s": round(t_prep, 1)}
+
+
+def phase_c(args):
+    """One flagship full-cap 4-objective epoch over the 12.5k shard."""
+    import jax
+    import jax.numpy as jnp
+    from unast_tpu.data.batching import BatchGetter
+    from unast_tpu.data.shard import PackedShardDataset
+    from unast_tpu.train.config import (model_config_from_args,
+                                        parse_with_config)
+    from unast_tpu.train.steps import init_train_state, make_train_step
+
+    shard = os.path.join(args.workdir, "full_train.unsh")
+    ds = PackedShardDataset(shard)
+    print(f"[C] shard: {len(ds)} items")
+    targs = parse_with_config([
+        "--use_discriminator", "true",
+        "--max_mel_len", "816", "--max_text_len", "304",
+        "--data_mel_len", "816", "--data_text_len", "304",
+        "--ae_steps", "4", "--cm_steps", "8", "--sp_steps", "4",
+        "--d_steps", "4", "--train_batch_size", "16",
+        "--cm_infer_mel_len", "816", "--cm_infer_text_len", "304",
+        "--sched_type", "transformer", "--compute_dtype", "bfloat16",
+        "--fast_prng", "true"])
+    cfg = model_config_from_args(targs)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, targs)
+    bg = BatchGetter(targs, ds, ds, ds)
+    step = jax.jit(make_train_step(cfg, targs), donate_argnums=(0,))
+    items_per_step = (targs.ae_steps + targs.cm_steps) * \
+        targs.train_batch_size
+    n_steps = -(-len(ds) // items_per_step)
+    print(f"[C] epoch = {n_steps} outer steps "
+          f"({items_per_step} unsup items each)")
+    rng = jax.random.PRNGKey(1)
+    # warm step (compile; persistent cache makes repeats hot)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(targs, True))
+    t0 = time.perf_counter()
+    ts, m = step(ts, jax.random.fold_in(rng, 0), batches)
+    print(f"[C] first step (incl. compile): "
+          f"{time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    data_s = 0.0
+    for i in range(1, n_steps):
+        td = time.perf_counter()
+        batches = jax.tree_util.tree_map(
+            jnp.asarray, bg.step_batches(targs, True))
+        data_s += time.perf_counter() - td
+        ts, m = step(ts, jax.random.fold_in(rng, i), batches)
+    vals = {k: float(v) for k, v in m.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    dt = time.perf_counter() - t0
+    stats = {"outer_steps": n_steps, "epoch_wall_s": round(dt, 1),
+             "steps_per_s": round((n_steps - 1) / dt, 2),
+             "host_data_s": round(data_s, 1),
+             "grad_norm": round(vals["grad_norm"], 3)}
+    print("[C] epoch:", json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all", choices=["a", "b", "c", "all"])
+    ap.add_argument("--workdir", default="/root/rehearsal")
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+    if args.phase in ("a", "all"):
+        phase_a(args)
+    if args.phase in ("b", "all"):
+        phase_b(args)
+    if args.phase in ("c", "all"):
+        phase_c(args)

@@ -171,3 +171,33 @@ def test_tts_long_splits_and_concatenates():
     short = syn.tts_long("cat", pause_s=0.05)  # single-segment path
     assert short.ndim == 1
     assert len(wav) > len(short)
+
+
+def test_synthesizer_chunked_vocode_exact():
+    """Synthesizer._melgan_vocode with melgan_chunk set reproduces the
+    whole-utterance melgan_forward EXACTLY (boundary-truncated windows are
+    true slices), including when the bucket is not a chunk multiple —
+    the batch-knee fix must not change a single sample."""
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import TINY
+
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), TINY)
+    mg = G.melgan_init(jax.random.PRNGKey(1), base=64)
+    rng = np.random.default_rng(0)
+    mel_b = jnp.asarray(rng.random((3, 200, 80)), jnp.float32)
+    full = np.asarray(G.melgan_forward(mg, mel_b))
+    for chunk in (16, 64, 150, 256):  # 256: win>T -> whole-utterance fallback
+        syn = Synthesizer(a_params, a_state, TINY, melgan_params=mg,
+                          text_buckets=(8,), mel_buckets=(16,),
+                          max_batch=4, melgan_chunk=chunk)
+        got = np.asarray(syn._melgan_vocode(mel_b))
+        # bitwise-identical math per slice; different window shapes let
+        # XLA reassociate conv reductions -> 1e-7-level float residue
+        np.testing.assert_allclose(got, full, rtol=0, atol=1e-6,
+                                   err_msg=f"chunk {chunk}")
+    # auto mode: tiny batches stay whole-utterance (device array out)
+    syn = Synthesizer(a_params, a_state, TINY, melgan_params=mg,
+                      text_buckets=(8,), mel_buckets=(16,), max_batch=4)
+    got = np.asarray(syn._melgan_vocode(mel_b))
+    np.testing.assert_allclose(got, full, rtol=0, atol=1e-6)

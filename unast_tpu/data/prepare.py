@@ -32,7 +32,7 @@ def read_wav(path: str, expect_sr: int = 22050) -> np.ndarray:
 
 
 def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool,
-                 with_f0: bool = False):
+                 with_f0: bool = False, with_mag: bool = True):
     wav = read_wav(wav_path)
     if use_jax:
         from ..audio import dsp
@@ -42,7 +42,10 @@ def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool,
     else:
         mel, mag = ref_dsp.wav_to_mel_mag(wav)
     np.save(os.path.join(cache_dir, fid + ".mel.npy"), mel)
-    np.save(os.path.join(cache_dir, fid + ".mag.npy"), mag)
+    if with_mag:
+        # mags (1025 bins, ~13x the mel bytes) only matter for vocoder
+        # training; --no_mag skips them for model-training-only caches
+        np.save(os.path.join(cache_dir, fid + ".mag.npy"), mag)
     if with_f0:
         # frame F0 aligned to the TRIMMED analysis the DSP performs: the
         # mel comes from the trimmed wav, so extract F0 over the same span
@@ -71,6 +74,9 @@ def main(argv=None):
     ap.add_argument("--f0", action="store_true",
                     help="also cache frame-level F0 (<id>.f0.npy, "
                          "audio/pitch.py) for the FastSpeech pitch adaptor")
+    ap.add_argument("--no_mag", action="store_true",
+                    help="skip the .mag.npy caches (only vocoder training "
+                         "reads them; saves ~13x the mel bytes)")
     args = ap.parse_args(argv)
 
     manifest = os.path.join(args.data_path, "metadata.csv")
@@ -81,7 +87,8 @@ def main(argv=None):
     if args.cpu and args.workers > 1:
         import multiprocessing as mp
         jobs = [(os.path.join(args.data_path, "wavs", fid + ".wav"),
-                 args.cache_dir, fid, False, args.f0) for fid, _ in rows]
+                 args.cache_dir, fid, False, args.f0, not args.no_mag)
+                for fid, _ in rows]
         with mp.Pool(args.workers) as pool:
             frames = pool.starmap(process_clip, jobs, chunksize=32)
         print(f"[prepare] done: {len(rows)} clips, {sum(frames)} frames")
@@ -90,7 +97,8 @@ def main(argv=None):
     for i, (fid, _) in enumerate(rows):
         wav_path = os.path.join(args.data_path, "wavs", fid + ".wav")
         total += process_clip(wav_path, args.cache_dir, fid,
-                              use_jax=not args.cpu, with_f0=args.f0)
+                              use_jax=not args.cpu, with_f0=args.f0,
+                              with_mag=not args.no_mag)
         if (i + 1) % 500 == 0:
             print(f"[prepare] {i + 1}/{len(rows)} clips, {total} frames",
                   file=sys.stderr)

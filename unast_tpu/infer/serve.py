@@ -345,18 +345,48 @@ class Synthesizer:
             return self._vocode_fn(self.melgan_params, mel_b)
         hop = self.audio_params.hop_length
         ctx = RECEPTIVE_FIELD
-        # every window is a TRUE slice of mel_b (edges at the bucket's
-        # real edges or >= ctx interior), so the concatenation is exactly
-        # melgan_forward(mel_b); window shapes per bucket: first /
-        # interior / last = at most three compiles
-        outs = []
+        win = chunk + 2 * ctx
+        if t <= win:
+            return self._vocode_fn(self.melgan_params, mel_b)
+        # ONE jitted program for every window: device-side dynamic_slice
+        # of a UNIFORM (chunk + 2*ctx)-frame window (window starts are
+        # clamped at the bucket edges, which only grows the interior's
+        # context margin), vocode, return ONLY the interior chunk*hop
+        # samples. Every window is a TRUE slice of mel_b with >= ctx
+        # margin or a real bucket edge on each side, so the concatenation
+        # is exactly melgan_forward(mel_b). All dispatches queue async on
+        # the device (bounded live activations — the batch-knee fix);
+        # exactly chunk*hop samples transfer per window (no overlap
+        # retransmit), fetched after everything is in flight.
+        key = (chunk, win, hop)
+        if getattr(self, "_voc_win_key", None) != key:
+            from ..models import melgan as MG
+
+            def _win(params, mel, a, lo):
+                w_mel = jax.lax.dynamic_slice(
+                    mel, (0, a, 0), (mel.shape[0], win, mel.shape[2]))
+                wav = MG.melgan_forward(params, w_mel)
+                return jax.lax.dynamic_slice(
+                    wav, (0, lo), (wav.shape[0], chunk * hop))
+
+            self._voc_win_fn = jax.jit(_win)
+            self._voc_win_key = key
+        pending = []
         for t0 in range(0, t, chunk):
-            a = max(0, t0 - ctx)
-            b = min(t, t0 + chunk + ctx)
-            wav = self._vocode_fn(self.melgan_params, mel_b[:, a:b])
+            a = min(max(0, t0 - ctx), t - win)
             lo = (t0 - a) * hop
-            outs.append(np.asarray(wav[:, lo:lo + chunk * hop]))
-        return np.concatenate(outs, axis=1)[:, : t * hop]
+            # the returned block is always chunk*hop samples; for the
+            # final PARTIAL chunk lo + chunk*hop would run past the
+            # window (dynamic_slice would silently clamp and return the
+            # wrong region), so clamp the slice start ourselves and keep
+            # the residual offset for the host-side trim
+            lo_c = min(lo, (win - chunk) * hop)
+            pending.append((self._voc_win_fn(
+                self.melgan_params, mel_b, a, lo_c),
+                lo - lo_c, min(chunk, t - t0) * hop))
+        outs = [np.asarray(w)[:, off:off + take]
+                for w, off, take in pending]
+        return np.concatenate(outs, axis=1)
 
     def asr_ids(self, mels: List[np.ndarray], beam: int = 1,
                 ctc_beam: int = 1):

@@ -89,6 +89,12 @@ class ModelConfig:
     # (jax.checkpoint): ~1/3 extra FLOPs for O(num_layers) less activation
     # HBM — the lever that admits large-width training on one chip.
     remat: bool = False
+    # jax.checkpoint policy for --remat: '' = nothing saveable (recompute
+    # everything, min HBM); 'dots' = dots_with_no_batch_dims_saveable
+    # (save matmul outputs — the standard TPU policy: skips recomputing
+    # the MXU work, recomputes only the cheap bandwidth-bound ops);
+    # 'dots_all' = dots_saveable.
+    remat_policy: str = ""
 
     # Pipeline parallelism (GPipe schedule, parallel/pipeline.py): stage
     # the transformer encoder/decoder layer stacks over `pp` contiguous

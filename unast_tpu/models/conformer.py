@@ -123,7 +123,8 @@ def conformer_encoder_init(key, d: int, nhead: int, ffn_dim: int,
 
 def conformer_encoder(p, s, ctx: nn.Ctx, x, pad_mask, nhead: int,
                       dropout_p: float, kernel: int, impl: str = "xla",
-                      scan_layers: bool = False, remat: bool = False):
+                      scan_layers: bool = False, remat: bool = False,
+                      remat_policy: str = ""):
     """x: [B, T, D] -> ([B, T, D], new_state). Same stacking options as
     transformer.encoder: scan_layers runs ONE compiled layer body via
     lax.scan over stacked (params, state); remat wraps each layer in
@@ -144,7 +145,7 @@ def conformer_encoder(p, s, ctx: nn.Ctx, x, pad_mask, nhead: int,
                                    kv_lens=kv_lens)
 
         if remat:
-            one = jax.checkpoint(one)
+            one = T._ckpt(one, remat_policy)
         new_states = []
         for li, (lp, ls) in enumerate(zip(p["layers"], s["layers"])):
             key = (jax.random.fold_in(rng_base, li)
@@ -167,7 +168,7 @@ def conformer_encoder(p, s, ctx: nn.Ctx, x, pad_mask, nhead: int,
         return y, ns
 
     if remat:
-        body = jax.checkpoint(body)
+        body = T._ckpt(body, remat_policy)
     x, new_s = jax.lax.scan(body, x, (stacked_p, stacked_s, jnp.arange(n)))
     # unbind the stacked per-layer states back to a list
     new_states = [jax.tree_util.tree_map(lambda a, i=i: a[i], new_s)

@@ -160,7 +160,15 @@ def mas_durations(attn, mel_len, text_len):
     Pure lax.scan dynamic program (one forward pass storing the
     stay/advance decisions, one backward pass recovering the path and
     counting frames per token) — static shapes, runs in-graph inside the
-    jitted distillation step. Returns int32 [B, Tt] durations."""
+    jitted distillation step. Returns int32 [B, Tt] durations.
+
+    Measured caveat (BENCHMARKS.md forced-alignment ladder): when the
+    teacher's attention is diffuse, the best monotonic path through it
+    is still degenerate — on the held-out gate MAS did not fix the
+    argmax collapse. The generalization-safe source is CTC forced
+    alignment (models/ctc.py::ctc_forced_align, --nar_dur_source ctc),
+    whose posteriors are audio->text grounded; MAS remains useful when
+    the teacher has GA-sharpened or naturally monotonic attention."""
     a = jnp.mean(attn.astype(jnp.float32), axis=(0, 2))  # [B, Tm, Tt]
     b, tm, tt = a.shape
     neg = jnp.float32(-1e9)

@@ -86,7 +86,8 @@ def text_tr_encode(p, s, ctx, cfg: ModelConfig, ids, lens, noise_in=False):
                        cfg.e_drop, impl=cfg.attn_impl,
                        scan_layers=cfg.scan_layers, remat=cfg.remat,
                        moe_opts=cfg.moe_opts, pp=cfg.pp,
-                       pp_micro=cfg.pp_micro)
+                       pp_micro=cfg.pp_micro,
+                       remat_policy=cfg.remat_policy)
     return (memory, pad_mask), {"prenet": prenet_s}
 
 
@@ -105,7 +106,8 @@ def text_tr_decode_sequence(p, ctx, cfg: ModelConfig, tgt, tgt_lens,
                   scan_layers=cfg.scan_layers, remat=cfg.remat,
                   cross_weights_out=cross_weights_out,
                   moe_opts=cfg.moe_opts, pp=cfg.pp,
-                  pp_micro=cfg.pp_micro)
+                  pp_micro=cfg.pp_micro,
+                  remat_policy=cfg.remat_policy)
     return M.text_postnet(p["postnet"], ctx, h, cfg)
 
 
@@ -293,13 +295,15 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
         memory, enc_s = C.conformer_encoder(
             p["encoder"], s["encoder"], ctx, x, pad_mask, cfg.nhead,
             cfg.e_drop, cfg.conformer_kernel, impl=cfg.attn_impl,
-            scan_layers=cfg.scan_layers, remat=cfg.remat)
+            scan_layers=cfg.scan_layers, remat=cfg.remat,
+            remat_policy=cfg.remat_policy)
         return (memory, pad_mask), dict(s, encoder=enc_s)
     memory = T.encoder(p["encoder"], ctx, x, pad_mask, cfg.nhead,
                        cfg.e_drop, impl=cfg.attn_impl,
                        scan_layers=cfg.scan_layers, remat=cfg.remat,
                        moe_opts=cfg.moe_opts, pp=cfg.pp,
-                       pp_micro=cfg.pp_micro)
+                       pp_micro=cfg.pp_micro,
+                       remat_policy=cfg.remat_policy)
     return (memory, pad_mask), s
 
 
@@ -328,7 +332,8 @@ def speech_tr_decode_sequence(p, s, ctx, cfg: ModelConfig, tgt, tgt_lens,
                   scan_layers=cfg.scan_layers, remat=cfg.remat,
                   cross_weights_out=cross_weights_out,
                   moe_opts=cfg.moe_opts, pp=cfg.pp,
-                  pp_micro=cfg.pp_micro)
+                  pp_micro=cfg.pp_micro,
+                  remat_policy=cfg.remat_policy)
     pre, stop = M.speech_mel_and_stop(p["postnet"], h)
     pre = pre.reshape(b, t, cfg.num_mels)
     resid, postnet_s = M.speech_postnet(p["postnet"], s["postnet"], ctx, pre, cfg)

@@ -197,6 +197,18 @@ def _stack_layers(layers):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def _ckpt(fn, policy: str = ""):
+    """jax.checkpoint with a named policy: '' = nothing saveable (max
+    recompute, min HBM), 'dots' = dots_with_no_batch_dims_saveable (save
+    MXU outputs, recompute only bandwidth-bound ops — the standard TPU
+    remat policy), 'dots_all' = dots_saveable."""
+    if not policy:
+        return jax.checkpoint(fn)
+    pol = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+           "dots_all": jax.checkpoint_policies.dots_saveable}[policy]
+    return jax.checkpoint(fn, policy=pol)
+
+
 def _layer_ctx(base, train: bool, li, collect: bool = False):
     """Per-layer ctx for scanned/rematerialized stacks; `base` comes from
     ctx.next_rng() so the fold domain is distinct from every other loop's.
@@ -208,7 +220,7 @@ def _layer_ctx(base, train: bool, li, collect: bool = False):
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
             impl: str = "xla", scan_layers: bool = False,
             remat: bool = False, moe_opts=(1, 1.25), pp: int = 1,
-            pp_micro: int = 0):
+            pp_micro: int = 0, remat_policy: str = ""):
     """x: [B, T, D], pad_mask: bool [B, T] True=PAD.
 
     scan_layers=True runs the stack as a lax.scan over stacked layer params:
@@ -255,7 +267,7 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
                                   pad_mask=pad_mask, moe_opts=moe_opts)
                 return y, _take_aux(inner)
 
-            one = jax.checkpoint(one)
+            one = _ckpt(one, remat_policy)
             aux = jnp.float32(0.0)
             for li, lp in enumerate(p["layers"]):
                 key = (jax.random.fold_in(rng_base, li)
@@ -284,7 +296,7 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
         return y, _take_aux(inner)
 
     if remat:
-        body = jax.checkpoint(body)
+        body = _ckpt(body, remat_policy)
     x, aux = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     if collect:
         ctx.aux_losses.append(jnp.sum(aux))
@@ -340,7 +352,7 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
             nhead: int, dropout_p: float, impl: str = "xla",
             scan_layers: bool = False, cross_weights_out=None,
             remat: bool = False, moe_opts=(1, 1.25), pp: int = 1,
-            pp_micro: int = 0):
+            pp_micro: int = 0, remat_policy: str = ""):
     """Teacher-forced parallel decode. x: [B, Tt, D], memory: [B, Ts, D].
     If `cross_weights_out` is a list, per-layer cross-attention probs
     [B, H, Tt, Ts] (f32) are appended — consumed by the guided-attention
@@ -394,7 +406,7 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                                   pad_mask=tgt_pad_mask, moe_opts=moe_opts)
                 return y, _take_aux(inner)
 
-            one = jax.checkpoint(one)
+            one = _ckpt(one, remat_policy)
             aux = jnp.float32(0.0)
             for li, lp in enumerate(p["layers"]):
                 key = (jax.random.fold_in(rng_base, li)
@@ -430,7 +442,7 @@ def decoder(p, ctx: nn.Ctx, x, memory, tgt_pad_mask, mem_pad_mask,
                    _take_aux(inner))
 
     if remat:
-        body = jax.checkpoint(body)
+        body = _ckpt(body, remat_policy)
     x, (ws, aux) = jax.lax.scan(body, x, (stacked, jnp.arange(n)))
     if cross_weights_out is not None:
         cross_weights_out.extend(ws)  # stacked [L, B, H, Tt, Ts] unbinds

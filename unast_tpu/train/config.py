@@ -147,6 +147,11 @@ def build_parser() -> argparse.ArgumentParser:
              "less activation HBM -- enables large-width training. "
              "Per-layer dropout keys fold the layer index from one base "
              "key (same streams as --scan_layers)")
+    add("--remat_policy", type=str, default="",
+        choices=["", "dots", "dots_all"],
+        help="jax.checkpoint policy for --remat: '' recomputes "
+             "everything; 'dots' saves matmul outputs with no batch dims "
+             "(skip recomputing MXU work); 'dots_all' saves all dots")
     add("--dp", type=int, default=1, help="data-parallel mesh size")
     add("--tp", type=int, default=1, help="tensor-parallel mesh size")
     add("--sp", type=int, default=1,
@@ -297,4 +302,5 @@ def model_config_from_args(args):
         reduction_factor=getattr(args, "reduction_factor", 1) or 1,
         pp=getattr(args, "pp", 1) or 1,
         pp_micro=getattr(args, "pp_micro", 0) or 0,
+        remat_policy=getattr(args, "remat_policy", "") or "",
     )
