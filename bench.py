@@ -187,7 +187,7 @@ def bench_serving(n_batches=4, max_batch=8):
             "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
 
 
-def bench_serve_nar(n_batches=4, max_batch=32):
+def bench_serve_nar(n_batches=4, max_batch=32, pcm16=True):
     """Full ONE-PASS production serving path: batched text requests ->
     phonemize -> FastSpeech NAR mel (Synthesizer(nar_pv=...)) -> MelGAN
     neural vocoder -> waveforms. No autoregressive loop and no Griffin-Lim
@@ -213,7 +213,8 @@ def bench_serve_nar(n_batches=4, max_batch=32):
     mg = G.melgan_init(jax.random.PRNGKey(2))
     syn = Synthesizer(a_params, a_state, cfg, text_buckets=(64,),
                       mel_buckets=(816,), max_batch=max_batch,
-                      nar_pv=(n_params, n_state), melgan_params=mg)
+                      nar_pv=(n_params, n_state), melgan_params=mg,
+                      pcm16=pcm16)
     texts = ["the quick brown fox jumps over the lazy dog"] * max_batch
     syn.tts(texts)  # warm both programs
     t0 = _time_mod.perf_counter()
@@ -226,10 +227,12 @@ def bench_serve_nar(n_batches=4, max_batch=32):
     utt_s = tot / dt
     audio_s = tot * cfg.max_mel_len * P.hop_length / P.sr
     rtf = dt / audio_s
+    fmt = "PCM16" if pcm16 else "f32"
     return {"metric": "serving_nar_text_to_wav_throughput",
             "value": round(utt_s, 2),
             "unit": f"utterances/s (batch {max_batch}, full 815-frame NAR "
-                    f"mel + neural vocoder; serving RTF {rtf:.5f})",
+                    f"mel + neural vocoder, {fmt} out; "
+                    f"serving RTF {rtf:.5f})",
             "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}
 
 

@@ -148,6 +148,45 @@ void trim_silence_bounds(const float* y, int64_t n, int frame_length, int hop,
   out_bounds[1] = std::min<int64_t>(n, (last + 1) * hop);
 }
 
+// PCM16 variant for the int16 serving path (Synthesizer pcm16=True): the
+// trim decision is a dB RATIO to the max-power frame, so the 1/32767
+// scale cancels and the bounds computed on raw int16 samples are exactly
+// those of the float signal.
+void trim_silence_bounds_i16(const int16_t* y, int64_t n, int frame_length,
+                             int hop, double top_db, int64_t* out_bounds) {
+  out_bounds[0] = 0;
+  out_bounds[1] = n;
+  if (n == 0) return;
+  const int64_t pad = frame_length / 2;
+  int64_t n_frames = 1 + ((n + 2 * pad) - frame_length) / hop;
+  std::vector<double> mse(n_frames);
+  double max_mse = 0.0;
+  for (int64_t t = 0; t < n_frames; ++t) {
+    int64_t start = t * hop - pad;
+    int64_t lo = std::max<int64_t>(0, start);
+    int64_t hi = std::min<int64_t>(n, start + frame_length);
+    double acc = 0.0;
+    for (int64_t i = lo; i < hi; ++i) {
+      double v = (double)y[i] / 32767.0;
+      acc += v * v;
+    }
+    mse[t] = acc / frame_length;
+    max_mse = std::max(max_mse, mse[t]);
+  }
+  max_mse = std::max(max_mse, 1e-10);
+  int64_t first = -1, last = -1;
+  for (int64_t t = 0; t < n_frames; ++t) {
+    double db = 10.0 * log10(std::max(mse[t], 1e-10) / max_mse);
+    if (db > -top_db) {
+      if (first < 0) first = t;
+      last = t;
+    }
+  }
+  if (first < 0) { out_bounds[0] = 0; out_bounds[1] = 0; return; }
+  out_bounds[0] = first * hop;
+  out_bounds[1] = std::min<int64_t>(n, (last + 1) * hop);
+}
+
 // ---------------------------------------------------------------------------
 // In-place-safe preemphasis: out[0] = y[0]; out[t] = y[t] - coef*y[t-1].
 // ---------------------------------------------------------------------------

@@ -42,9 +42,19 @@ def _pop(name, default):
     return default
 
 
+def _pop_str(name, default):
+    if name in _argv:
+        i = _argv.index(name)
+        v = _argv[i + 1]
+        del _argv[i:i + 2]
+        return v
+    return default
+
+
 STEPS = _pop("--vocoder_steps", 1500)
 TRAIN_N = _pop("--train_n", 8)
 ADV_STEPS = _pop("--adv_steps", 0)
+DISC = _pop_str("--disc", "msd")  # msd | mpd | msd+mpd (--adv_steps > 0)
 
 
 class A:
@@ -76,6 +86,7 @@ if ADV_STEPS > 0:
 
     class AV(A):
         lr = 1e-4  # fine-tune rate
+        melgan_disc = DISC
 
     # hand init_adv_state a COPY of the STFT-only generator: it aliases
     # the params into ats.gen, and the donated a_step would delete the
@@ -102,7 +113,7 @@ gl = jax.jit(lambda m: jax.vmap(
 
 rows = {"griffin-lim": ([], []), "melgan-stft": ([], [])}
 if adv_params is not None:
-    rows["melgan-stft+adv"] = ([], [])
+    rows[f"melgan-stft+adv({DISC})"] = ([], [])
 for it in eval_items:
     t = min(FR, it["mel"].shape[0], len(it["wav"]) // P.hop_length)
     mel = np.zeros((1, FR, 80), np.float32)
@@ -111,7 +122,7 @@ for it in eval_items:
     gold[0, :t * P.hop_length] = it["wav"][:t * P.hop_length]
     wavs = {"melgan-stft": np.asarray(voc(vs.params, jnp.asarray(mel)))}
     if adv_params is not None:
-        wavs["melgan-stft+adv"] = np.asarray(voc(adv_params,
+        wavs[f"melgan-stft+adv({DISC})"] = np.asarray(voc(adv_params,
                                                  jnp.asarray(mel)))
     wav_gl = np.asarray(gl(jnp.asarray(mel)))[:, :FR * P.hop_length]
     if wav_gl.shape[1] < FR * P.hop_length:

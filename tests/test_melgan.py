@@ -201,3 +201,109 @@ def test_synthesizer_chunked_vocode_exact():
                       text_buckets=(8,), mel_buckets=(16,), max_batch=4)
     got = np.asarray(syn._melgan_vocode(mel_b))
     np.testing.assert_allclose(got, full, rtol=0, atol=1e-6)
+
+
+def test_mpd_shapes_and_period_fold():
+    """Multi-period discriminator: per-period logits [B, ceil(n/p), p, 1],
+    5 feature maps, finite."""
+    p = G.mpd_init(jax.random.PRNGKey(0))
+    n = 40 * P.hop_length
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, n))
+    outs = G.mpd_forward(p, wav)
+    assert len(outs) == 5
+    for (feats, logits), period in zip(outs, G._PERIODS):
+        assert len(feats) == 5
+        assert logits.shape[0] == 2 and logits.shape[2] == period
+        assert logits.shape[3] == 1
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_adv_disc_forward_dispatch_and_legacy():
+    """adv_disc_forward: dict trees concatenate sub-discriminator outputs;
+    a bare MSD list (round-2 checkpoints) still works."""
+    key = jax.random.PRNGKey(0)
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, 4400))
+    both = G.adv_disc_init(key, "msd+mpd")
+    outs = G.adv_disc_forward(both, wav)
+    assert len(outs) == 3 + 5  # 3 scales + 5 periods
+    legacy = G.discriminator_init(key)
+    lo = G.adv_disc_forward(legacy, wav)
+    ref = G.discriminator_forward(legacy, wav)
+    assert len(lo) == len(ref) == 3
+    np.testing.assert_array_equal(np.asarray(lo[0][1]),
+                                  np.asarray(ref[0][1]))
+
+
+def test_adversarial_step_mpd_trains():
+    """Hinge-GAN step with the HiFi-GAN multi-period discriminator:
+    finite metrics, both players move."""
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.melgan import (init_adv_state, init_voc_state,
+                                        make_adversarial_step)
+
+    class A:
+        lr = 1e-4
+        melgan_base = 32
+        melgan_disc = "mpd"
+
+    ds = SyntheticSpeechDataset(size=1, seed=0)
+    mel, wav = crop_batch(ds, np.random.default_rng(1), 2, 8, P.hop_length)
+    vs = init_voc_state(jax.random.PRNGKey(0), A())
+    ats = init_adv_state(jax.random.PRNGKey(1), vs, A())
+    assert set(ats.disc) == {"mpd"}
+    step = jax.jit(make_adversarial_step(A()), donate_argnums=(0,))
+    g0 = np.asarray(jax.tree_util.tree_leaves(ats.gen)[0]).copy()
+    d0 = np.asarray(jax.tree_util.tree_leaves(ats.disc)[0]).copy()
+    for _ in range(2):
+        ats, m = step(ats, jnp.asarray(mel), jnp.asarray(wav))
+        vals = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+    assert not np.allclose(
+        g0, np.asarray(jax.tree_util.tree_leaves(ats.gen)[0]))
+    assert not np.allclose(
+        d0, np.asarray(jax.tree_util.tree_leaves(ats.disc)[0]))
+
+
+def test_synthesizer_pcm16_path_matches_float():
+    """pcm16=True: tts returns int16 waveforms that are exactly the
+    device-quantized float path (same trim bounds, values within 1 LSB of
+    round(clip(w) * 32767))."""
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import fastspeech as F
+    from unast_tpu.models import unast as U
+    from unast_tpu.models.config import TINY
+
+    cfg = TINY
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    n_params, n_state = F.fastspeech_init(jax.random.PRNGKey(1), cfg)
+    n_params["dur"]["fc"]["b"] = n_params["dur"]["fc"]["b"] + 2.0
+    mg = G.melgan_init(jax.random.PRNGKey(2), base=32)
+    kw = dict(text_buckets=(16,), mel_buckets=(cfg.max_mel_len,),
+              max_batch=2, nar_pv=(n_params, n_state), melgan_params=mg)
+    syn_f = Synthesizer(a_params, a_state, cfg, **kw)
+    syn_i = Synthesizer(a_params, a_state, cfg, pcm16=True, **kw)
+    wf = syn_f.tts(["hello", "cat"])
+    wi = syn_i.tts(["hello", "cat"])
+    for f, i in zip(wf, wi):
+        assert i.dtype == np.int16
+        # trim bounds may differ by at most one trim hop at the edges
+        # (quantization perturbs frame RMS at the dB threshold); on this
+        # deterministic input they should be identical
+        assert abs(len(i) - len(f)) <= P.trim_hop_length, (len(i), len(f))
+        n = min(len(i), len(f))
+        q = np.round(np.clip(f[:n], -1, 1) * 32767.0)
+        assert np.max(np.abs(q - i[:n].astype(np.float64))) <= 1.0
+
+
+def test_trim_silence_i16_matches_float_bounds():
+    rng = np.random.default_rng(3)
+    w = np.concatenate([np.zeros(3000, np.float32),
+                        rng.normal(0, .4, 20000).astype(np.float32),
+                        np.zeros(6000, np.float32)])
+    w = np.clip(w, -1, 1)
+    i = np.round(w * 32767).astype(np.int16)
+    from unast_tpu import native
+    _, bf = native.trim_silence(w)
+    ti, bi = native.trim_silence_i16(i)
+    assert bf == bi
+    np.testing.assert_array_equal(ti, i[bi[0]:bi[1]])

@@ -36,7 +36,7 @@ class Synthesizer:
                  mel_buckets: Sequence[int] = (256, 512, 816),
                  max_batch: int = 8, mesh=None, quantize: str = None,
                  nar_pv=None, melgan_params=None, ctc_pv=None,
-                 melgan_chunk: Optional[int] = None):
+                 melgan_chunk: Optional[int] = None, pcm16: bool = False):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — one
         Synthesizer then serves batches sharded across all chips (params
         replicated, request batch split over 'dp'; XLA runs each shard's
@@ -65,10 +65,17 @@ class Synthesizer:
         (batched over the chunk's utterances), EXACTLY reproducing the
         whole-utterance forward (infer/streaming.py's contract) while
         bounding the generator's [B, T*hop, C] activations per window.
-        This removes the serving batch knee: at batch 64 x 816 frames the
-        whole-utterance activations spill one chip's HBM and throughput
-        collapses (BENCHMARKS.md "batch knee"). None = auto (chunk only
-        when rows*frames exceeds the measured safe region); 0 = never."""
+        This bounds the serving batch's HBM: from batch 96 x 816 frames
+        up, the whole-utterance activations pressure one chip's HBM and
+        chunked windows win (BENCHMARKS.md "batch knee, revisited").
+        None = auto (chunk only when rows*frames exceeds the measured
+        safe region); 0 = never.
+
+        `pcm16`: quantize waveforms to 16-bit PCM on device — tts() /
+        tts_long() return int16 arrays (the disk/wire format, reference
+        src/utils.py:103) and the device->host waveform transfer halves;
+        that transfer is the dominant batched-serving cost (BENCHMARKS.md
+        round-3 serving-transfer study)."""
         self.cfg = cfg
         if quantize is not None:
             # int8 weight-only quantization (nn/quant.py): halves the
@@ -121,18 +128,30 @@ class Synthesizer:
         gl = jax.vmap(lambda m: dsp._mag_to_wav_core(m, audio_params))
         self.melgan_params = melgan_params
         self.melgan_chunk = melgan_chunk
+        self.pcm16 = bool(pcm16)
+        # pcm16: quantize to 16-bit PCM ON DEVICE so the waveform leaves
+        # the chip at half the bytes — measured 2x faster device->host
+        # fetch, and the dominant serving cost at batch >= 32 is exactly
+        # that fetch (BENCHMARKS.md "serving transfer"). PCM16 is the
+        # disk/wire format anyway (reference writes 16-bit WAVs,
+        # src/utils.py:103); tts() then returns int16 arrays.
+        _out = ((lambda w: jnp.round(jnp.clip(w, -1.0, 1.0)
+                                     * 32767.0).astype(jnp.int16))
+                if self.pcm16 else (lambda w: w))
+        self._out_op = _out
         if melgan_params is not None:
             from ..models import melgan as MG
             self._vocode_fn = jax.jit(
-                lambda mp, mel_b: MG.melgan_forward(mp, mel_b))
+                lambda mp, mel_b: _out(MG.melgan_forward(mp, mel_b)))
         elif vocoder_pv is not None:
             def _vocode(vp, vs, mel_b):
                 mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), mel_b)
-                return gl(jnp.clip(mag, 1e-8, 1.0))
+                return _out(gl(jnp.clip(mag, 1e-8, 1.0)))
             self._vocode_fn = jax.jit(_vocode)
         else:
             self._vocode_fn = jax.jit(
-                lambda lift, mel_b: gl(jnp.clip(mel_b @ lift, 1e-8, 1.0)))
+                lambda lift, mel_b: _out(gl(jnp.clip(mel_b @ lift,
+                                                     1e-8, 1.0))))
 
     def _place(self, *arrays):
         """Shard request arrays over 'dp' (no-op without a mesh)."""
@@ -311,7 +330,10 @@ class Synthesizer:
                 wavs = self._vocode_fn(vp, vs, mel_b)
             else:
                 wavs = self._vocode_fn(self._lift, mel_b)
-            wavs = np.asarray(wavs, np.float32)
+            wavs = np.asarray(wavs,
+                              np.int16 if self.pcm16 else np.float32)
+            trim = (native.trim_silence_i16 if self.pcm16
+                    else native.trim_silence)
             for i in range(n):
                 # AR stop_lens counts the stop-fired frame (cut excludes
                 # it, reference src/network.py:246-252); NAR out_lens is
@@ -319,16 +341,20 @@ class Synthesizer:
                 frames = (int(stop_lens[i]) if self.nar_pv is not None
                           else int(stop_lens[i]) - 1)
                 cut = p.hop_length * max(1, frames)
-                w, _ = native.trim_silence(
+                w, _ = trim(
                     wavs[i, :cut], frame_length=p.trim_frame_length,
                     hop=p.trim_hop_length, top_db=p.trim_top_db)
                 out.append(w)
         return out
 
     # threshold (total mel frames per vocoder dispatch) above which the
-    # auto mode chunks: batch 32 x 816 frames (~26k) fits one v5e's HBM,
-    # batch 64 x 816 (~52k) spills and collapses 4x (BENCHMARKS.md)
-    _MELGAN_AUTO_FRAMES = 32768
+    # auto mode chunks. Measured round 3 (BENCHMARKS.md "batch knee,
+    # revisited"): with PCM16 output the whole-utterance forward WINS
+    # through batch 64 x 816 (~52k frames, 61.5 utt/s vs 56.3 chunked) —
+    # the round-2 "collapse" was transfer-bound, not HBM — while at
+    # batch 96 x 816 (~78k) activation pressure is real and chunk 256
+    # wins (54.5 vs 43.2 utt/s).
+    _MELGAN_AUTO_FRAMES = 65536
 
     def _melgan_vocode(self, mel_b):
         """Neural vocoding of one padded chunk [rows, T, n_mels] -> wavs
@@ -366,8 +392,8 @@ class Synthesizer:
                 w_mel = jax.lax.dynamic_slice(
                     mel, (0, a, 0), (mel.shape[0], win, mel.shape[2]))
                 wav = MG.melgan_forward(params, w_mel)
-                return jax.lax.dynamic_slice(
-                    wav, (0, lo), (wav.shape[0], chunk * hop))
+                return self._out_op(jax.lax.dynamic_slice(
+                    wav, (0, lo), (wav.shape[0], chunk * hop)))
 
             self._voc_win_fn = jax.jit(_win)
             self._voc_win_key = key

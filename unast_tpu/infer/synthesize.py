@@ -22,9 +22,13 @@ from ..data.dataset import load_manifest
 
 
 def write_wav(path: str, wav_data: np.ndarray, sr: int = 22050):
-    """PCM16 writer (no soundfile in this image)."""
-    pcm = np.clip(wav_data, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
+    """PCM16 writer (no soundfile in this image). Accepts float in
+    [-1, 1] or already-quantized int16 (the Synthesizer pcm16 path)."""
+    if wav_data.dtype == np.int16:
+        pcm = wav_data
+    else:
+        pcm = np.clip(wav_data, -1.0, 1.0)
+        pcm = (pcm * 32767.0).astype(np.int16)
     with wave.open(path, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

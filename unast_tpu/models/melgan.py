@@ -155,3 +155,101 @@ def discriminator_forward(p, wav):
         outs.append((feats, logits))
         x = _avgpool2(x)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Multi-period discriminator (HiFi-GAN, Kong et al. 2020 §2.2): for each
+# prime period p the waveform is folded to a [B, ceil(n/p), p] "image" and
+# judged by a stack of 2-D convs with (5, 1) kernels — strided over TIME
+# only, so each column (phase offset within the period) gets its own view
+# of the signal's periodic structure. Complements the multi-scale
+# discriminator above, which only sees smoothed consecutive samples: MSD
+# judges envelope/texture, MPD judges periodicity/harmonics. Pure model
+# ADDITION over the reference (whose only vocoder is Griffin-Lim);
+# selected via train/melgan.py --melgan_disc {msd, mpd, msd+mpd}.
+# ---------------------------------------------------------------------------
+
+_PERIODS = (2, 3, 5, 7, 11)
+_P_CHANNELS = (32, 128, 512, 1024)  # stride 3 over time each
+
+
+def _conv2_init(key, c_in: int, c_out: int, kh: int, kw: int = 1):
+    kw_, kb = jax.random.split(key)
+    fan_in = kh * kw * c_in
+    return {"w": nn.torch_linear_uniform(kw_, (kh, kw, c_in, c_out), fan_in),
+            "b": nn.torch_linear_uniform(kb, (c_out,), fan_in)}
+
+
+def _conv2(p, x, stride: int = 1):
+    """x: [B, H, W, C]; (kh, 1) kernel, strided over H (time) only."""
+    kh = p["w"].shape[0]
+    pad_h = (kh // 2, kh - 1 - kh // 2)
+    y = jax.lax.conv_general_dilated(
+        x, nn.weight(p, x.dtype), window_strides=(stride, 1),
+        padding=[pad_h, (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"].astype(x.dtype)
+
+
+def mpd_init(key, periods=_PERIODS):
+    out = []
+    for pk in jax.random.split(key, len(periods)):
+        lks = jax.random.split(pk, len(_P_CHANNELS) + 2)
+        c = 1
+        layers = []
+        for lk, c_out in zip(lks, _P_CHANNELS):
+            layers.append(_conv2_init(lk, c, c_out, 5))
+            c = c_out
+        layers.append(_conv2_init(lks[-2], c, 1024, 5))
+        layers.append(_conv2_init(lks[-1], 1024, 1, 3))
+        out.append(layers)
+    return out
+
+
+def mpd_forward(p, wav, periods=_PERIODS):
+    """wav [B, n] -> list over periods of (features list, logits
+    [B, T', period, 1])."""
+    outs = []
+    for layers, period in zip(p, periods):
+        n = wav.shape[1]
+        pad = (-n) % period
+        x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect")
+        x = x.reshape(x.shape[0], -1, period)[..., None]  # [B, T/p, p, 1]
+        feats = []
+        h = x
+        for lp in layers[:-2]:
+            h = jax.nn.leaky_relu(_conv2(lp, h, stride=3), LEAK)
+            feats.append(h)
+        h = jax.nn.leaky_relu(_conv2(layers[-2], h, stride=1), LEAK)
+        feats.append(h)
+        logits = _conv2(layers[-1], h, stride=1)
+        outs.append((feats, logits))
+    return outs
+
+
+def adv_disc_init(key, kind: str = "msd"):
+    """kind: 'msd' (MelGAN multi-scale, the default), 'mpd' (HiFi-GAN
+    multi-period), or 'msd+mpd' (HiFi-GAN's full pairing)."""
+    k1, k2 = jax.random.split(key)
+    d = {}
+    if "msd" in kind:
+        d["msd"] = discriminator_init(k1)
+    if "mpd" in kind:
+        d["mpd"] = mpd_init(k2)
+    if not d:
+        raise ValueError(f"unknown discriminator kind {kind!r}")
+    return d
+
+
+def adv_disc_forward(p, wav):
+    """Dispatch over the adv_disc_init dict (or a bare MSD list for
+    backward compatibility with round-2 checkpoints): returns one flat
+    list of (features, logits) across all sub-discriminators."""
+    if isinstance(p, list):  # legacy bare-MSD trees
+        return discriminator_forward(p, wav)
+    outs = []
+    if "msd" in p:
+        outs += discriminator_forward(p["msd"], wav)
+    if "mpd" in p:
+        outs += mpd_forward(p["mpd"], wav)
+    return outs

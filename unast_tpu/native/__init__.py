@@ -52,6 +52,9 @@ def _load():
                                    c_i32p]
     lib.trim_silence_bounds.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_double, c_i64p]
+    lib.trim_silence_bounds_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, c_i64p]
     lib.preemphasis.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_float, c_f32p]
     lib.shard_open.restype = ctypes.c_void_p
     lib.shard_open.argtypes = [ctypes.c_char_p]
@@ -132,6 +135,27 @@ def trim_silence(y: np.ndarray, frame_length: int = 2048, hop: int = 512,
     bounds = np.empty((2,), np.int64)
     lib.trim_silence_bounds(
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(y),
+        frame_length, hop, top_db,
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    s, e = int(bounds[0]), int(bounds[1])
+    return y[s:e], (s, e)
+
+
+def trim_silence_i16(y: np.ndarray, frame_length: int = 2048,
+                     hop: int = 512, top_db: float = 60.0):
+    """trim_silence on PCM16 samples without a float conversion of the
+    whole buffer (the Synthesizer pcm16 serving path). The trim decision
+    is a dB ratio, so the 1/32767 scale cancels: bounds equal those of
+    trim_silence(y / 32767)."""
+    lib = _load()
+    y = np.ascontiguousarray(y, np.int16)
+    if lib is None:
+        trimmed, se = trim_silence(y.astype(np.float32) / 32767.0,
+                                   frame_length, hop, top_db)
+        return y[se[0]:se[1]], se
+    bounds = np.empty((2,), np.int64)
+    lib.trim_silence_bounds_i16(
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(y),
         frame_length, hop, top_db,
         bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     s, e = int(bounds[0]), int(bounds[1])

@@ -201,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--melgan_adv_steps", type=int, default=0,
         help="hinge-GAN + feature-matching fine-tune steps after the "
              "STFT pretraining phase (0 = STFT-only, the default)")
+    add("--melgan_disc", type=str, default="msd",
+        choices=["msd", "mpd", "msd+mpd"],
+        help="adversarial-fine-tune discriminator family: MelGAN "
+             "multi-scale, HiFi-GAN multi-period, or both")
     add("--ctc_steps", type=int, default=2000,
         help="CTC ASR training steps (train/ctc.py CLI)")
     add("--nar_pitch", type=lambda s: s.lower() != "false", default=False,

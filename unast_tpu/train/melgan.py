@@ -105,8 +105,11 @@ class AdvTrainState(NamedTuple):
 
 def init_adv_state(key, vs: VocTrainState, args) -> AdvTrainState:
     """Continue from an STFT-pretrained generator (MelGAN recipe: the
-    adversarial phase fine-tunes, it does not train from scratch here)."""
-    disc = G.discriminator_init(key)
+    adversarial phase fine-tunes, it does not train from scratch here).
+    `--melgan_disc` picks the discriminator family: 'msd' (MelGAN
+    multi-scale, default), 'mpd' (HiFi-GAN multi-period), 'msd+mpd'."""
+    disc = G.adv_disc_init(key, str(getattr(args, "melgan_disc", "")
+                                    or "msd"))
     lr = float(getattr(args, "lr", 1e-4) or 1e-4)
     g_tx, d_tx = optax.adamw(lr), optax.adamw(lr)
     return AdvTrainState(vs.params, g_tx.init(vs.params), disc,
@@ -128,9 +131,9 @@ def make_adversarial_step(args, fm_weight: float = 10.0,
 
         def d_loss_fn(disc):
             loss = 0.0
-            for (_, lr_), (_, lf) in zip(G.discriminator_forward(disc, wav),
-                                         G.discriminator_forward(disc,
-                                                                 fake_sg)):
+            for (_, lr_), (_, lf) in zip(G.adv_disc_forward(disc, wav),
+                                         G.adv_disc_forward(disc,
+                                                            fake_sg)):
                 loss += (jnp.mean(jax.nn.relu(1.0 - lr_))
                          + jnp.mean(jax.nn.relu(1.0 + lf)))
             return loss
@@ -144,8 +147,8 @@ def make_adversarial_step(args, fm_weight: float = 10.0,
             stft, sc = mr_stft_loss(pred, wav)
             adv = 0.0
             fm = 0.0
-            real_outs = G.discriminator_forward(disc, wav)
-            fake_outs = G.discriminator_forward(disc, pred)
+            real_outs = G.adv_disc_forward(disc, wav)
+            fake_outs = G.adv_disc_forward(disc, pred)
             for (fr, _), (ff, lf) in zip(real_outs, fake_outs):
                 adv += -jnp.mean(lf)
                 for a, b in zip(fr, ff):
