@@ -149,8 +149,10 @@ def phase_c(args):
         "--ae_steps", "4", "--cm_steps", "8", "--sp_steps", "4",
         "--d_steps", "4", "--train_batch_size", "16",
         "--cm_infer_mel_len", "816", "--cm_infer_text_len", "304",
-        "--sched_type", "transformer", "--compute_dtype", "bfloat16",
-        "--fast_prng", "true"])
+        "--sched_type", "transformer", "--compute_dtype", "bfloat16"])
+    # NOTE: threefry (reference-reproducible default). Passing --fast_prng
+    # here would need train.config.apply_runtime_flags(targs) BEFORE any
+    # PRNGKey creation to take effect.
     cfg = model_config_from_args(targs)
     ts = init_train_state(jax.random.PRNGKey(0), cfg, targs)
     bg = BatchGetter(targs, ds, ds, ds)

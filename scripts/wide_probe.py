@@ -36,8 +36,13 @@ def _time(fn, iters=3, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
-def probe_steps(batches, iters):
+def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
+                                                           "dots_all")):
     import jax
+    if prng == "rbg":
+        # Must precede every PRNGKey creation below; see
+        # train.config.apply_runtime_flags.
+        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     from unast_tpu.data.batching import BatchGetter
     from unast_tpu.data.dataset import SyntheticSpeechDataset
@@ -49,18 +54,18 @@ def probe_steps(batches, iters):
     ds = SyntheticSpeechDataset(size=8, seed=0)
     rows = {}
     for bs in batches:
-        for policy in ("", "dots", "dots_all"):
+        for policy in policies:
             argv = WIDE + [
                 "--train_batch_size", str(bs), "--data_mel_len", "256",
                 "--data_text_len", "128", "--max_mel_len", "256",
                 "--max_text_len", "128", "--ae_steps", "0",
                 "--cm_steps", "0", "--sp_steps", "1", "--d_steps", "0",
                 "--use_discriminator", "false", "--remat", "true",
-                "--remat_policy", policy, "--fast_prng", "true",
+                "--remat_policy", policy,
                 "--compute_dtype", "bfloat16"]
             args = parse_with_config(argv)
             cfg = model_config_from_args(args)
-            label = f"bs{bs}/{policy or 'none-saveable'}"
+            label = f"bs{bs}/{policy or 'none-saveable'}/{prng}"
             try:
                 ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
                 bg = BatchGetter(args, ds, ds, ds)
@@ -151,9 +156,15 @@ if __name__ == "__main__":
     ap.add_argument("--batches", default="32,48")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--skip_attn", action="store_true")
+    ap.add_argument("--prng", default="threefry",
+                    choices=["threefry", "rbg"])
+    ap.add_argument("--policies", default=",dots,dots_all",
+                    help="comma-separated remat policies ('' allowed)")
     a = ap.parse_args()
     if not a.skip_attn:
         print("== attention at d=1024 training shape ==")
         probe_attention(a.iters)
-    print("== d=1024/6L supervised step: remat policy x batch ==")
-    probe_steps([int(b) for b in a.batches.split(",")], a.iters)
+    print(f"== d=1024/6L supervised step: remat policy x batch "
+          f"({a.prng}) ==")
+    probe_steps([int(b) for b in a.batches.split(",")], a.iters,
+                prng=a.prng, policies=tuple(a.policies.split(",")))

@@ -271,6 +271,18 @@ def parse_with_config(argv=None) -> argparse.Namespace:
     return args
 
 
+def apply_runtime_flags(args):
+    """Apply parsed flags that configure the JAX runtime rather than the
+    model (currently: --fast_prng -> hardware RBG PRNG for all keys
+    created afterwards). train/loop.py calls this; standalone scripts that
+    drive init_train_state/make_train_step directly must call it too —
+    passing --fast_prng to parse_with_config alone has NO effect on key
+    creation (the flag is consumed here, not in the parser)."""
+    import jax
+    if getattr(args, "fast_prng", False):
+        jax.config.update("jax_default_prng_impl", "rbg")
+
+
 def model_config_from_args(args):
     """Derive the frozen ModelConfig from the flat namespace."""
     from ..models.config import ModelConfig

@@ -17,7 +17,8 @@ import numpy as np
 from ..data.batching import BatchGetter, BatchIterator
 from ..data.dataset import LJSpeechDataset, SyntheticSpeechDataset
 from ..infer.evaluate import evaluate
-from .config import parse_with_config, model_config_from_args
+from .config import (parse_with_config, model_config_from_args,
+                     apply_runtime_flags)
 from .checkpoint import save_ckp, load_ckp, wait_for_saves
 from .observe import MetricsWriter, log_loss_metrics, check_nan, maybe_profile
 from .steps import init_train_state, make_train_step
@@ -74,14 +75,13 @@ def _val_batches(args, val_ds):
 
 
 def train(args):
-    if getattr(args, "fast_prng", False):
-        # Hardware RBG PRNG for all in-step randomness (dropout masks, DAE
-        # noise, SpecAugment). Measured 1.6x faster full train step on v5e
-        # at the flagship scale (BENCHMARKS.md) — threefry mask generation
-        # is a major cost of train-mode steps. Off by default: rbg changes
-        # the random streams (init + dropout), so reference-reproducible
-        # runs keep threefry.
-        jax.config.update("jax_default_prng_impl", "rbg")
+    # --fast_prng: hardware RBG PRNG for all in-step randomness (dropout
+    # masks, DAE noise, SpecAugment). Measured 1.6x faster full train step
+    # on v5e at the flagship scale (BENCHMARKS.md) — threefry mask
+    # generation is a major cost of train-mode steps. Off by default: rbg
+    # changes the random streams (init + dropout), so
+    # reference-reproducible runs keep threefry.
+    apply_runtime_flags(args)
     from ..parallel.multihost import (maybe_initialize_distributed,
                                       HostShardedDataset)
     maybe_initialize_distributed()
