@@ -55,11 +55,13 @@ STEPS = _pop("--vocoder_steps", 1500)
 TRAIN_N = _pop("--train_n", 8)
 ADV_STEPS = _pop("--adv_steps", 0)
 DISC = _pop_str("--disc", "msd")  # msd | mpd | msd+mpd (--adv_steps > 0)
+GEN = _pop_str("--gen", "melgan")  # melgan | hifigan generator family
 
 
 class A:
     lr = 5e-4
     melgan_base = 256
+    melgan_gen = GEN
 
 
 EVAL_N = 4
@@ -106,23 +108,24 @@ if ADV_STEPS > 0:
 
 # ---- held-out full-utterance comparison ----
 FR = 96  # fixed eval frame bucket (one compile each path)
-voc = jax.jit(lambda p, m: G.melgan_forward(p, m))
+voc = jax.jit(lambda p, m: G.generator_forward(p, m))
 lift = jnp.asarray(dsp.mel_to_mag_pseudo_inverse(P))
 gl = jax.jit(lambda m: jax.vmap(
     lambda x: dsp._mag_to_wav_core(x, P))(jnp.clip(m @ lift, 1e-8, 1.0)))
 
-rows = {"griffin-lim": ([], []), "melgan-stft": ([], [])}
+NN = f"{GEN}-stft"
+rows = {"griffin-lim": ([], []), NN: ([], [])}
 if adv_params is not None:
-    rows[f"melgan-stft+adv({DISC})"] = ([], [])
+    rows[f"{NN}+adv({DISC})"] = ([], [])
 for it in eval_items:
     t = min(FR, it["mel"].shape[0], len(it["wav"]) // P.hop_length)
     mel = np.zeros((1, FR, 80), np.float32)
     mel[0, :t] = it["mel"][:t]
     gold = np.zeros((1, FR * P.hop_length), np.float32)
     gold[0, :t * P.hop_length] = it["wav"][:t * P.hop_length]
-    wavs = {"melgan-stft": np.asarray(voc(vs.params, jnp.asarray(mel)))}
+    wavs = {NN: np.asarray(voc(vs.params, jnp.asarray(mel)))}
     if adv_params is not None:
-        wavs[f"melgan-stft+adv({DISC})"] = np.asarray(voc(adv_params,
+        wavs[f"{NN}+adv({DISC})"] = np.asarray(voc(adv_params,
                                                  jnp.asarray(mel)))
     wav_gl = np.asarray(gl(jnp.asarray(mel)))[:, :FR * P.hop_length]
     if wav_gl.shape[1] < FR * P.hop_length:
@@ -139,8 +142,8 @@ means = {}
 for name, (scs, mcds) in rows.items():
     means[name] = (float(np.mean(scs)), float(np.mean(mcds)))
     print(f"  {name:18s} SC {means[name][0]:7.4f}   MCD {means[name][1]:6.2f} dB")
-nn_m, gl_m = means["melgan-stft"][0], means["griffin-lim"][0]
-nn_mcd, gl_mcd = means["melgan-stft"][1], means["griffin-lim"][1]
+nn_m, gl_m = means[NN][0], means["griffin-lim"][0]
+nn_mcd, gl_mcd = means[NN][1], means["griffin-lim"][1]
 ok = nn_m < gl_m and nn_mcd < gl_mcd
 print(f"GATE {'PASS' if ok else 'FAIL'} "
       f"(neural beats GL path on SC: {nn_m < gl_m}, MCD: {nn_mcd < gl_mcd})")

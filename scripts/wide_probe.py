@@ -37,7 +37,8 @@ def _time(fn, iters=3, warmup=1):
 
 
 def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
-                                                           "dots_all")):
+                                                           "dots_all"),
+                attn="xla"):
     import jax
     if prng == "rbg":
         # Must precede every PRNGKey creation below; see
@@ -62,10 +63,11 @@ def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
                 "--cm_steps", "0", "--sp_steps", "1", "--d_steps", "0",
                 "--use_discriminator", "false", "--remat", "true",
                 "--remat_policy", policy,
+                "--attn_impl", attn,
                 "--compute_dtype", "bfloat16"]
             args = parse_with_config(argv)
             cfg = model_config_from_args(args)
-            label = f"bs{bs}/{policy or 'none-saveable'}/{prng}"
+            label = f"bs{bs}/{policy or 'none-saveable'}/{prng}/{attn}"
             try:
                 ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
                 bg = BatchGetter(args, ds, ds, ds)
@@ -160,11 +162,13 @@ if __name__ == "__main__":
                     choices=["threefry", "rbg"])
     ap.add_argument("--policies", default=",dots,dots_all",
                     help="comma-separated remat policies ('' allowed)")
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
     a = ap.parse_args()
     if not a.skip_attn:
         print("== attention at d=1024 training shape ==")
         probe_attention(a.iters)
     print(f"== d=1024/6L supervised step: remat policy x batch "
-          f"({a.prng}) ==")
+          f"({a.prng}, attn={a.attn}) ==")
     probe_steps([int(b) for b in a.batches.split(",")], a.iters,
-                prng=a.prng, policies=tuple(a.policies.split(",")))
+                prng=a.prng, policies=tuple(a.policies.split(",")),
+                attn=a.attn)

@@ -307,3 +307,93 @@ def test_trim_silence_i16_matches_float_bounds():
     ti, bi = native.trim_silence_i16(i)
     assert bf == bi
     np.testing.assert_array_equal(ti, i[bi[0]:bi[1]])
+
+
+def test_hifigan_forward_shapes_and_bounds():
+    p = G.hifigan_init(jax.random.PRNGKey(0), base=32)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 80))
+    wav = G.hifigan_forward(p, mel)
+    assert wav.shape == (2, 8 * P.hop_length)
+    w = np.asarray(wav)
+    assert np.isfinite(w).all()
+    assert np.abs(w).max() <= 1.0
+
+
+def test_generator_dispatch_and_receptive_field():
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 80))
+    pm = G.melgan_init(jax.random.PRNGKey(0), base=32)
+    ph = G.hifigan_init(jax.random.PRNGKey(0), base=32)
+    np.testing.assert_array_equal(np.asarray(G.generator_forward(pm, mel)),
+                                  np.asarray(G.melgan_forward(pm, mel)))
+    np.testing.assert_array_equal(np.asarray(G.generator_forward(ph, mel)),
+                                  np.asarray(G.hifigan_forward(ph, mel)))
+    assert G.receptive_field(pm) == 24
+    assert G.receptive_field(ph) == 48
+
+
+def test_hifigan_vocoder_step_learns():
+    from unast_tpu.train.melgan import init_voc_state
+
+    class A:
+        lr = 5e-4
+        melgan_base = 32
+        melgan_gen = "hifigan"
+
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    ds = SyntheticSpeechDataset(size=1, seed=0)
+    vs = init_voc_state(jax.random.PRNGKey(0), A())
+    assert "mrf" in vs.params
+    step = jax.jit(make_vocoder_step(A()), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(30):
+        mel, wav = crop_batch(ds, rng, 4, 16, P.hop_length)
+        vs, m = step(vs, jnp.asarray(mel), jnp.asarray(wav))
+        losses.append(float(m["voc/stft"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_hifigan_streaming_chunked_equals_full():
+    """The streaming/chunked exactness contract holds for the MRF
+    generator with its wider derived receptive field."""
+    from unast_tpu.infer.streaming import MelganStreamer
+    p = G.hifigan_init(jax.random.PRNGKey(0), base=32)
+    mel = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (137, 80)),
+                     np.float32)
+    t_pad = -(-137 // 32) * 32
+    padded = np.zeros((t_pad, 80), np.float32)
+    padded[:137] = mel
+    full = np.asarray(G.hifigan_forward(p, jnp.asarray(padded)[None])[0]
+                      )[: 137 * P.hop_length]
+    s = MelganStreamer(p, P.hop_length, chunk=32)  # ctx derived from tree
+    assert s.ctx == 48
+    got = np.concatenate(list(s.stream(mel)))
+    assert got.shape == full.shape
+    np.testing.assert_allclose(got, full, rtol=2e-5, atol=2e-5)
+
+
+def test_hifigan_adversarial_step_trains():
+    from unast_tpu.train.melgan import (AdvTrainState, init_adv_state,
+                                        init_voc_state,
+                                        make_adversarial_step)
+
+    class A:
+        lr = 1e-4
+        melgan_base = 32
+        melgan_gen = "hifigan"
+        melgan_disc = "mpd"
+
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    ds = SyntheticSpeechDataset(size=1, seed=0)
+    vs = init_voc_state(jax.random.PRNGKey(0), A())
+    ats = init_adv_state(jax.random.PRNGKey(1), vs, A())
+    step = jax.jit(make_adversarial_step(A()), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    g0 = jax.tree_util.tree_leaves(ats.gen)[0].copy()
+    d0 = jax.tree_util.tree_leaves(ats.disc)[0].copy()
+    for _ in range(2):
+        mel, wav = crop_batch(ds, rng, 2, 16, P.hop_length)
+        ats, m = step(ats, jnp.asarray(mel), jnp.asarray(wav))
+    assert np.isfinite(float(m["voc/stft"]))
+    assert not np.array_equal(g0, jax.tree_util.tree_leaves(ats.gen)[0])
+    assert not np.array_equal(d0, jax.tree_util.tree_leaves(ats.disc)[0])

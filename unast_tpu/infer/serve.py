@@ -142,7 +142,7 @@ class Synthesizer:
         if melgan_params is not None:
             from ..models import melgan as MG
             self._vocode_fn = jax.jit(
-                lambda mp, mel_b: _out(MG.melgan_forward(mp, mel_b)))
+                lambda mp, mel_b: _out(MG.generator_forward(mp, mel_b)))
         elif vocoder_pv is not None:
             def _vocode(vp, vs, mel_b):
                 mag, _ = U.vocoder(vp, vs, nn.Ctx.eval(), mel_b)
@@ -362,7 +362,7 @@ class Synthesizer:
         context windows (exactness contract of infer/streaming.py, here
         batched over the rows) so the generator's activations are bounded
         per dispatch — at most three window shapes compile."""
-        from .streaming import RECEPTIVE_FIELD
+        from ..models import melgan as MG
         rows, t = mel_b.shape[0], mel_b.shape[1]
         chunk = self.melgan_chunk
         if chunk is None:
@@ -370,7 +370,7 @@ class Synthesizer:
         if not chunk or t <= chunk:
             return self._vocode_fn(self.melgan_params, mel_b)
         hop = self.audio_params.hop_length
-        ctx = RECEPTIVE_FIELD
+        ctx = MG.receptive_field(self.melgan_params)
         win = chunk + 2 * ctx
         if t <= win:
             return self._vocode_fn(self.melgan_params, mel_b)
@@ -386,12 +386,10 @@ class Synthesizer:
         # retransmit), fetched after everything is in flight.
         key = (chunk, win, hop)
         if getattr(self, "_voc_win_key", None) != key:
-            from ..models import melgan as MG
-
             def _win(params, mel, a, lo):
                 w_mel = jax.lax.dynamic_slice(
                     mel, (0, a, 0), (mel.shape[0], win, mel.shape[2]))
-                wav = MG.melgan_forward(params, w_mel)
+                wav = MG.generator_forward(params, w_mel)
                 return self._out_op(jax.lax.dynamic_slice(
                     wav, (0, lo), (wav.shape[0], chunk * hop)))
 

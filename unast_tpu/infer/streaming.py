@@ -47,13 +47,15 @@ class MelganStreamer:
     samples; at most three window shapes compile."""
 
     def __init__(self, params, hop: int, chunk: int = 32,
-                 ctx: int = RECEPTIVE_FIELD, n_mels: int = 80):
+                 ctx: int = None, n_mels: int = 80):
         self.params = params
         self.hop = hop
         self.chunk = chunk
-        self.ctx = ctx
+        # MRF (HiFi-GAN) generators have a wider receptive field than
+        # MelGAN's; derive the safe context from the tree by default.
+        self.ctx = G.receptive_field(params) if ctx is None else ctx
         self.n_mels = n_mels
-        self._fn = jax.jit(lambda p, win: G.melgan_forward(p, win)[0])
+        self._fn = jax.jit(lambda p, win: G.generator_forward(p, win)[0])
 
     def warm(self, t_total: int = None):
         """Pre-compile the window shapes for a t_total-frame stream
@@ -87,7 +89,7 @@ class MelganStreamer:
 
 
 def stream_tts(syn, text: str, chunk: int = 32,
-               ctx: int = RECEPTIVE_FIELD) -> Iterator[np.ndarray]:
+               ctx: int = None) -> Iterator[np.ndarray]:
     """End-to-end streaming TTS through a Synthesizer configured with
     nar_pv (one-pass mel) + melgan_params: yields waveform chunks.
     Time-to-first-audio = one NAR pass + ONE vocoder window instead of

@@ -102,6 +102,101 @@ def num_params(p) -> int:
 
 
 # ---------------------------------------------------------------------------
+# HiFi-GAN-style generator (Kong et al. 2020 §2.1): same
+# transposed-conv upsampling skeleton, but each stage's single dilated
+# resblock is replaced by a Multi-Receptive-Field fusion — parallel
+# ResBlock1 stacks with kernel sizes (3, 7, 11) x dilations (1, 3, 5),
+# averaged. Pure model-family ADDITION over the reference (Griffin-Lim
+# only, src/utils.py:61-103); selected via train/melgan.py
+# --melgan_gen hifigan. Trees are distinguished from MelGAN's by the
+# "mrf" key, so generator_forward/receptive_field dispatch on the tree.
+# ---------------------------------------------------------------------------
+
+MRF_KERNELS = (3, 7, 11)
+MRF_DILATIONS = (1, 3, 5)
+
+
+def _resblock1_init(key, c: int, k: int, dilations=MRF_DILATIONS):
+    ks = jax.random.split(key, 2 * len(dilations))
+    return [{"c1": _conv_init(ks[2 * i], c, c, k),
+             "c2": _conv_init(ks[2 * i + 1], c, c, k)}
+            for i in range(len(dilations))]
+
+
+def _resblock1(ps, x, dilations=MRF_DILATIONS):
+    """HiFi-GAN ResBlock1: per dilation d, x += conv_k(lrelu(
+    conv_k(lrelu(x), dil=d)), dil=1)."""
+    for p, d in zip(ps, dilations):
+        h = _conv(p["c1"], jax.nn.leaky_relu(x, LEAK), dilation=d)
+        h = _conv(p["c2"], jax.nn.leaky_relu(h, LEAK))
+        x = x + h
+    return x
+
+
+def hifigan_init(key, n_mels: int = 80, base: int = 256,
+                 rates=(5, 5, 11), kernels=MRF_KERNELS,
+                 dilations=MRF_DILATIONS):
+    """mel -> wav generator with MRF stages; prod(rates) == hop."""
+    ks = jax.random.split(key, 2 + (1 + len(kernels)) * len(rates))
+    params = {"pre": _conv_init(ks[0], n_mels, base, 7), "ups": [],
+              "mrf": []}
+    c = base
+    i = 1
+    for r in rates:
+        c_out = max(c // 2, 32)
+        params["ups"].append(_conv_init(ks[i], c, c_out, 2 * r))
+        i += 1
+        stage = []
+        for k in kernels:
+            stage.append(_resblock1_init(ks[i], c_out, k, dilations))
+            i += 1
+        params["mrf"].append(stage)
+        c = c_out
+    params["post"] = _conv_init(ks[-1], c, 1, 7)
+    return params
+
+
+def hifigan_forward(p, mel, rates=(5, 5, 11), dilations=MRF_DILATIONS):
+    """mel [B, T, n_mels] -> wav [B, T * prod(rates)], tanh-bounded."""
+    x = _conv(p["pre"], mel)
+    for up, stage, r in zip(p["ups"], p["mrf"], rates):
+        x = _convT(up, jax.nn.leaky_relu(x, LEAK), r)
+        acc = None
+        for res in stage:
+            y = _resblock1(res, x, dilations)
+            acc = y if acc is None else acc + y
+        x = acc / len(stage)
+    x = _conv(p["post"], jax.nn.leaky_relu(x, LEAK))
+    return jnp.tanh(x)[..., 0]
+
+
+def generator_init(key, kind: str = "melgan", n_mels: int = 80,
+                   base: int = 256):
+    if kind == "hifigan":
+        return hifigan_init(key, n_mels=n_mels, base=base)
+    if kind == "melgan":
+        return melgan_init(key, n_mels=n_mels, base=base)
+    raise ValueError(f"unknown generator kind {kind!r}")
+
+
+def generator_forward(p, mel):
+    """Dispatch mel->wav over the generator family encoded in the tree
+    ('mrf' key = HiFi-GAN MRF, else MelGAN). Serving/training call this
+    so either family rides the same checkpoints and pipelines."""
+    return hifigan_forward(p, mel) if "mrf" in p else melgan_forward(p, mel)
+
+
+def receptive_field(p) -> int:
+    """One-sided receptive field in MEL FRAMES for the chunked/streaming
+    vocoders (infer/streaming.py exactness contract). Conservative
+    over-approximations, exactness-tested: 24 covers MelGAN's
+    k3/dil(1,3,9) stages; the MRF's k11/dil(1,3,5) stacks reach ~60
+    samples per stage one-sided (~19 frames mapped back through the
+    upsampling) — 48 keeps the same safety margin."""
+    return 48 if "mrf" in p else 24
+
+
+# ---------------------------------------------------------------------------
 # Multi-scale waveform discriminator (MelGAN §2.2): the same conv stack
 # applied to the raw wav and to 2x / 4x average-pooled versions, each
 # emitting per-window logits plus intermediate features for the

@@ -201,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--melgan_adv_steps", type=int, default=0,
         help="hinge-GAN + feature-matching fine-tune steps after the "
              "STFT pretraining phase (0 = STFT-only, the default)")
+    add("--melgan_gen", type=str, default="melgan",
+        choices=["melgan", "hifigan"],
+        help="neural-vocoder generator family: MelGAN dilated resblocks "
+             "or HiFi-GAN multi-receptive-field (MRF) stages")
     add("--melgan_disc", type=str, default="msd",
         choices=["msd", "mpd", "msd+mpd"],
         help="adversarial-fine-tune discriminator family: MelGAN "

@@ -68,8 +68,9 @@ class VocTrainState(NamedTuple):
 
 
 def init_voc_state(key, args, n_mels: int = 80) -> VocTrainState:
-    params = G.melgan_init(key, n_mels=n_mels,
-                           base=int(getattr(args, "melgan_base", 0) or 256))
+    params = G.generator_init(
+        key, kind=str(getattr(args, "melgan_gen", "") or "melgan"),
+        n_mels=n_mels, base=int(getattr(args, "melgan_base", 0) or 256))
     tx = optax.adamw(float(getattr(args, "lr", 1e-4) or 1e-4))
     return VocTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
@@ -79,7 +80,7 @@ def make_vocoder_step(args, wav_l1_weight: float = 1.0):
 
     def step(vs: VocTrainState, mel, wav):
         def loss_fn(params):
-            pred = G.melgan_forward(params, mel)
+            pred = G.generator_forward(params, mel)
             stft, sc = mr_stft_loss(pred, wav)
             l1 = jnp.mean(jnp.abs(pred.astype(jnp.float32)
                                   - wav.astype(jnp.float32)))
@@ -126,7 +127,7 @@ def make_adversarial_step(args, fm_weight: float = 10.0,
     g_tx, d_tx = optax.adamw(lr), optax.adamw(lr)
 
     def step(ts: AdvTrainState, mel, wav):
-        fake = G.melgan_forward(ts.gen, mel)
+        fake = G.generator_forward(ts.gen, mel)
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(disc):
@@ -143,7 +144,7 @@ def make_adversarial_step(args, fm_weight: float = 10.0,
         disc = optax.apply_updates(ts.disc, d_up)
 
         def g_loss_fn(gen):
-            pred = G.melgan_forward(gen, mel)
+            pred = G.generator_forward(gen, mel)
             stft, sc = mr_stft_loss(pred, wav)
             adv = 0.0
             fm = 0.0
@@ -204,7 +205,8 @@ def main(argv=None):
 
     ds = SyntheticSpeechDataset(size=int(args.synthetic_size), seed=0)
     vs = init_voc_state(jax.random.PRNGKey(0), args)
-    print(f"MelGAN generator: {G.num_params(vs.params)} params")
+    gen_kind = str(getattr(args, "melgan_gen", "") or "melgan")
+    print(f"{gen_kind} generator: {G.num_params(vs.params)} params")
     step = jax.jit(make_vocoder_step(args), donate_argnums=(0,))
     rng = np.random.default_rng(args.seed)
     for i in range(n_steps):
