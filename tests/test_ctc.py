@@ -275,3 +275,37 @@ def test_ctc_forced_align_clean_segments():
         lp, jnp.ones((1, t), bool), labels, jnp.asarray([3])))[0]
     np.testing.assert_array_equal(dur, [6, 3, 5])  # blanks -> token 0
     assert dur.sum() == t
+
+
+def test_synthesizer_spec_asr_matches_ar_greedy():
+    """asr_ids(spec=True) = the AR model's greedy transcript, reached by
+    CTC-drafted speculative verification — must equal the pure-AR path's
+    output exactly (and expose the verify-round count)."""
+    from unast_tpu.infer.serve import Synthesizer
+    from unast_tpu.models import unast as U
+
+    cfg = TINY
+    a_params, a_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    c_params, c_state = C.ctc_asr_init(jax.random.PRNGKey(1), cfg)
+    mels = [np.random.default_rng(0).random((20, cfg.num_mels),
+                                            ).astype(np.float32),
+            np.random.default_rng(1).random((12, cfg.num_mels),
+                                            ).astype(np.float32)]
+    # pure AR greedy (no ctc_pv -> _asr_fn is the AR decoder)
+    syn_ar = Synthesizer(a_params, a_state, cfg, text_buckets=(16,),
+                         mel_buckets=(24,), max_batch=2)
+    want = syn_ar.asr_ids(mels)
+    # speculative: same AR transcript via CTC draft + parallel verify
+    syn = Synthesizer(a_params, a_state, cfg, text_buckets=(16,),
+                      mel_buckets=(24,), max_batch=2,
+                      ctc_pv=(c_params, c_state))
+    got = syn.asr_ids(mels, spec=True)
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert len(syn.last_spec_rounds) == 1
+    assert 1 <= syn.last_spec_rounds[0] <= cfg.max_text_len
+    # spec requires a CTC draft model
+    import pytest
+    with pytest.raises(ValueError):
+        syn_ar.asr_ids(mels, spec=True)

@@ -450,3 +450,46 @@ def test_fused_proj_matches_separate_linears():
     for y, p in zip(fused, ps):
         np.testing.assert_allclose(np.asarray(y), np.asarray(nn.linear(p, x)),
                                    atol=1e-6)
+
+
+def test_spec_infer_matches_greedy(tr_model):
+    """Speculative decode (CTC-draft verify) returns EXACTLY the greedy
+    AR transcript for good, corrupted, and garbage drafts — only the
+    round count varies (1-2 rounds when the draft IS the answer, up to
+    one per token for garbage)."""
+    cfg, params, state = tr_model
+    ids, t_lens = _text_batch(cfg)
+    ectx = nn.Ctx.eval()
+    (mem, mask), _ = N.text_encode(params["text_m"], state["text_m"], ectx,
+                                   cfg, ids, t_lens)
+    greedy, g_lens = N.text_tr_infer(params["text_m"], ectx, cfg, mem, mask)
+    greedy, g_lens = np.asarray(greedy), np.asarray(g_lens)
+
+    # (a) draft == the greedy output itself: verified in <= 2 rounds
+    s_ids, s_lens, rounds = N.text_tr_spec_infer(
+        params["text_m"], ectx, cfg, mem, mask, jnp.asarray(greedy))
+    np.testing.assert_array_equal(np.asarray(s_ids), greedy)
+    np.testing.assert_array_equal(np.asarray(s_lens), g_lens)
+    assert int(rounds) <= 2, int(rounds)
+
+    # (b) corrupted draft (a few wrong tokens): still exact, a few rounds
+    bad = greedy.copy()
+    bad[:, [1, 5]] = 7
+    s_ids, s_lens, r_bad = N.text_tr_spec_infer(
+        params["text_m"], ectx, cfg, mem, mask, jnp.asarray(bad))
+    np.testing.assert_array_equal(np.asarray(s_ids), greedy)
+    np.testing.assert_array_equal(np.asarray(s_lens), g_lens)
+
+    # (c) garbage draft (all PAD): still exact (degenerates toward AR)
+    s_ids, s_lens, r_pad = N.text_tr_spec_infer(
+        params["text_m"], ectx, cfg, mem, mask,
+        jnp.zeros_like(jnp.asarray(greedy)))
+    np.testing.assert_array_equal(np.asarray(s_ids), greedy)
+    np.testing.assert_array_equal(np.asarray(s_lens), g_lens)
+    assert int(rounds) <= int(r_bad) <= int(r_pad)
+
+    # train-mode ctx is rejected (verify must be deterministic)
+    with pytest.raises(ValueError):
+        N.text_tr_spec_infer(params["text_m"],
+                             nn.Ctx(rng=jax.random.PRNGKey(0), train=True),
+                             cfg, mem, mask, jnp.asarray(greedy))

@@ -219,6 +219,24 @@ class Synthesizer:
         return N.text_tr_beam_search(params["text_m"], ectx, self.cfg,
                                      enc, mask, beam=beam)
 
+    def _spec_asr_impl(self, params, net_state, mel, mel_len):
+        # speculative AR decode: the one-pass CTC greedy output drafts,
+        # the AR decoder verifies whole candidate sequences in parallel
+        # teacher-forced forwards (networks.text_tr_spec_infer) — output
+        # is the AR model's greedy transcript, reached in ~(#CTC-errors+1)
+        # MXU-friendly passes instead of max_text_len cached steps.
+        from ..models import ctc as CT
+        from ..models import networks as N
+        ectx = nn.Ctx.eval()
+        c_p, c_s = self.ctc_pv
+        (draft, _), _ = CT.ctc_asr_infer(c_p, c_s, ectx, self.cfg,
+                                         mel, mel_len)
+        (enc, mask), _ = N.speech_encode(params["speech_m"],
+                                         net_state["speech_m"], ectx,
+                                         self.cfg, mel, mel_len)
+        return N.text_tr_spec_infer(params["text_m"], ectx, self.cfg,
+                                    enc, mask, draft)
+
     # -- public API ----------------------------------------------------------
 
     def _bucket(self, buckets, need):
@@ -413,16 +431,30 @@ class Synthesizer:
         return np.concatenate(outs, axis=1)
 
     def asr_ids(self, mels: List[np.ndarray], beam: int = 1,
-                ctc_beam: int = 1):
+                ctc_beam: int = 1, spec: bool = False):
         """mels (list of [T, n_mels]) -> list of phoneme-id np arrays.
         beam > 1 (transformer backbone only) uses the AR beam-search
         decode; ctc_beam > 1 (with ctc_pv) runs prefix beam search over
         the CTC posteriors (host-side; merges probability mass across
-        alignments — models/ctc.py::ctc_prefix_beam_search)."""
+        alignments — models/ctc.py::ctc_prefix_beam_search); spec=True
+        (with ctc_pv, transformer backbone) returns the AR model's greedy
+        transcript via CTC-drafted speculative decoding — same output as
+        the AR path, a few parallel verify passes instead of a sequential
+        decode loop. self.last_spec_rounds records the verify-round
+        counts."""
         if beam > 1 and self.cfg.model_type != "transformer":
             raise ValueError("beam search requires the transformer backbone")
         if ctc_beam > 1 and self.ctc_pv is None:
             raise ValueError("ctc_beam needs Synthesizer(ctc_pv=...)")
+        if spec:
+            if self.ctc_pv is None:
+                raise ValueError("spec=True needs Synthesizer(ctc_pv=...)")
+            if self.cfg.model_type != "transformer":
+                raise ValueError("speculative decode requires the "
+                                 "transformer backbone")
+            if not hasattr(self, "_asr_spec_fn"):
+                self._asr_spec_fn = jax.jit(self._spec_asr_impl)
+            self.last_spec_rounds = []
         out = []
         for start in range(0, len(mels), self.max_batch):
             chunk = mels[start:start + self.max_batch]
@@ -445,7 +477,11 @@ class Synthesizer:
                     max_text_len=self.cfg.max_text_len), np.int32)
                     for i in range(n))
                 continue
-            if beam > 1:
+            if spec:
+                ids, stop_lens, rounds = self._asr_spec_fn(
+                    self.params, self.net_state, mel, lens)
+                self.last_spec_rounds.append(int(rounds))
+            elif beam > 1:
                 ids, stop_lens = self._asr_beam_fn(
                     self.params, self.net_state, mel, lens, beam)
             else:

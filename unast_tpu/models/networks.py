@@ -163,6 +163,75 @@ def text_tr_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
     return res, stop_lens
 
 
+def text_tr_spec_infer(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
+                       draft, max_len: Optional[int] = None):
+    """Speculative greedy decoding (TPU-native ADDITION; the reference is
+    strictly sequential, src/network.py:463-481): verify a DRAFT token
+    sequence — e.g. the CTC head's one-pass greedy output (models/ctc.py)
+    — against the AR decoder's own greedy choices using the PARALLEL
+    teacher-forced forward (text_tr_decode_sequence), which is one big
+    MXU-friendly pass instead of max_len latency-bound cached steps.
+
+    Each round scores candidate = accepted-prefix + draft-suffix in one
+    forward, accepts the longest prefix where the decoder's greedy choice
+    equals the candidate, plus ONE corrected token at the first mismatch
+    (whose context is by then fully accepted, so its argmax is the true
+    greedy continuation). Guaranteed >= 1 token of progress per round;
+    when the draft is good the whole utterance verifies in a couple of
+    rounds. Output is exactly greedy decoding under the parallel scorer
+    (ctx must be eval-mode for determinism).
+
+    draft: [B, >=max_len] int32 ids (PAD-padded). Returns (ids [B,
+    max_len] masked past stop, stop_lens [B], n_rounds)."""
+    if ctx.train:
+        raise ValueError("speculative decode requires an eval-mode Ctx "
+                         "(dropout would break verify determinism)")
+    max_len = max_len or cfg.max_text_len
+    b = memory.shape[0]
+    draft = draft[:, :max_len].astype(jnp.int32)
+    if draft.shape[1] < max_len:
+        draft = jnp.pad(draft, ((0, 0), (0, max_len - draft.shape[1])),
+                        constant_values=PAD_IDX)
+    pos = jnp.arange(max_len)
+    lens_full = jnp.full((b,), max_len, jnp.int32)
+
+    def cond(c):
+        n, _, stop_lens, _ = c
+        live = jnp.logical_and(stop_lens == max_len, n < max_len)
+        return jnp.any(live)
+
+    def body(c):
+        n, tokens, stop_lens, r = c
+        cand = jnp.where(pos[None] < n[:, None], tokens, draft)
+        logits = text_tr_decode_sequence(p, ctx, cfg, cand, lens_full,
+                                         memory, mem_pad_mask)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ok = (g == cand)
+        # longest all-ok prefix, then one corrected token at the mismatch
+        n_match = jnp.sum(jnp.cumsum(~ok, axis=1) == 0, axis=1)
+        n_new = jnp.minimum(n_match + 1, max_len).astype(jnp.int32)
+        accepted = jnp.where(pos[None] < n_new[:, None], g, PAD_IDX)
+        # EOS inside the newly accepted region ends the row (reference
+        # stop semantics: stop_len = index of EOS + 1)
+        is_eos = jnp.logical_and(accepted == EOS_IDX, pos[None] < n_new[:, None])
+        first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+        has_eos = jnp.any(is_eos, axis=1)
+        live = jnp.logical_and(stop_lens == max_len, n < max_len)
+        stop_lens = jnp.where(jnp.logical_and(live, has_eos),
+                              first_eos + 1, stop_lens)
+        tokens = jnp.where(live[:, None], accepted, tokens)
+        n = jnp.where(live, n_new, n)
+        return (n, tokens, stop_lens, r + 1)
+
+    n0 = jnp.zeros((b,), jnp.int32)
+    tokens0 = jnp.full((b, max_len), PAD_IDX, jnp.int32)
+    stops0 = jnp.full((b,), max_len, jnp.int32)
+    _, tokens, stop_lens, rounds = jax.lax.while_loop(
+        cond, body, (n0, tokens0, stops0, jnp.int32(0)))
+    res = tokens * M.lens_to_mask(stop_lens, max_len).astype(tokens.dtype)
+    return res, stop_lens, rounds
+
+
 def text_tr_beam_search(p, ctx, cfg: ModelConfig, memory, mem_pad_mask,
                         beam: int = 4, max_len: Optional[int] = None,
                         length_penalty: float = 0.6):
