@@ -341,3 +341,54 @@ def test_remat_step_matches_scan_layers():
         res[name] = {k: float(v) for k, v in m.items()}
     for k, v in res["remat"].items():
         np.testing.assert_allclose(v, res["scan"][k], rtol=1e-5, err_msg=k)
+
+
+def test_adafactor_trains_and_state_is_factored():
+    """--optim_type adafactor: the supervised step runs, the loss drops
+    over ~30 steps, and the optimizer state carries NO full-tree Adam
+    moments (second moments are factored row/col vectors — the memory
+    point of the option)."""
+    argv = ["--config", "configs/transformer_test.json",
+            "--sched_type", "multistep", "--lr", "0.003",
+            "--optim_type", "adafactor", "--use_discriminator", "false",
+            "--ae_steps", "0", "--cm_steps", "0", "--sp_steps", "1",
+            "--d_steps", "0"]
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(tree)
+                   if hasattr(x, "size"))
+
+    # memory claim at a width where factoring engages (optax factors
+    # dims >= 128): same config at d=256 vs its AdamW state
+    wide = parse_with_config(argv + ["--hidden", "256", "--e_in", "256",
+                                     "--t_emb_dim", "256", "--s_pre_hid",
+                                     "256", "--ffn_dim", "256"])
+    wcfg = model_config_from_args(wide)
+    ts_f = init_train_state(jax.random.PRNGKey(0), wcfg, wide)
+    wide_adam = parse_with_config(argv[:7] + ["adamw"] + argv[8:] + [
+        "--hidden", "256", "--e_in", "256", "--t_emb_dim", "256",
+        "--s_pre_hid", "256", "--ffn_dim", "256"])
+    ts_a = init_train_state(jax.random.PRNGKey(0),
+                            model_config_from_args(wide_adam), wide_adam)
+    f_bytes = nbytes(ts_f.gen_opt) + nbytes(ts_f.disc_opt)
+    a_bytes = nbytes(ts_a.gen_opt) + nbytes(ts_a.disc_opt)
+    assert f_bytes < 0.6 * a_bytes, (f_bytes, a_bytes)
+
+    ds = SyntheticSpeechDataset(size=4, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, use_discriminator=False))
+    step = jax.jit(make_train_step(cfg, args))
+    first = last = None
+    for i in range(30):
+        ts, m = step(ts, jax.random.PRNGKey(1 + i), batches)
+        v = float(m["sp/asr"])
+        assert np.isfinite(v)
+        if first is None:
+            first = v
+        last = v
+    assert last < first, (first, last)

@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     # optimizer / schedule
     add("--lr", type=float, default=0.0625)
     add("--weight_decay", type=float, default=1e-6)
-    add("--optim_type", type=str, default="adamw", choices=["adam", "adamw"])
+    add("--optim_type", type=str, default="adamw",
+        choices=["adam", "adamw", "adafactor"])
     add("--sched_type", type=str, default="transformer",
         choices=["multistep", "linear", "transformer", "none"])
     add("--warmup_steps", type=int, default=2000)

@@ -95,6 +95,17 @@ def make_optimizer(args, schedule: Optional[optax.Schedule] = None):
         parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
         if wd:
             parts.append(optax.add_decayed_weights(wd))
+    elif optim_type == "adafactor":
+        # Memory lever for the wide-model regime (ADDITION; the reference
+        # is Adam-only, src/train.py:946-956): factored second moments
+        # replace Adam's two full-tree f32 moments (~8 bytes/param ->
+        # ~O(rows+cols)), e.g. ~3.1 GB saved at the d=1024/386M scale.
+        # The external schedule drives the step size, so Adafactor's own
+        # lr heuristics are disabled for parity with the other chains.
+        parts.append(optax.scale_by_factored_rms())
+        parts.append(optax.clip_by_block_rms(1.0))
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
     else:
         raise ValueError(f"unknown optim_type {optim_type}")
     parts.append(optax.scale_by_schedule(lambda s: -schedule(s)))
