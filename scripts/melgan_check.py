@@ -59,7 +59,9 @@ GEN = _pop_str("--gen", "melgan")  # melgan | hifigan generator family
 
 
 class A:
-    lr = 5e-4
+    # HiFi-GAN-paper-adjacent LR for the deeper MRF stacks; MelGAN keeps
+    # the round-2 recipe (its recorded numbers stay reproducible)
+    lr = 2e-4 if GEN == "hifigan" else 5e-4
     melgan_base = 256
     melgan_gen = GEN
 

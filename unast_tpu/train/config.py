@@ -202,6 +202,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--melgan_adv_steps", type=int, default=0,
         help="hinge-GAN + feature-matching fine-tune steps after the "
              "STFT pretraining phase (0 = STFT-only, the default)")
+    add("--vocoder_grad_clip", type=float, default=5.0,
+        help="global-norm gradient clip for the neural-vocoder steps "
+             "(0 disables; load-bearing for the MRF generator — see "
+             "train/melgan.py::_voc_tx)")
     add("--melgan_gen", type=str, default="melgan",
         choices=["melgan", "hifigan"],
         help="neural-vocoder generator family: MelGAN dilated resblocks "

@@ -67,16 +67,30 @@ class VocTrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _voc_tx(args):
+    """Vocoder optimizer: AdamW behind global-norm clipping. Clipping is
+    load-bearing for the MRF (HiFi-GAN) generator: without it a single
+    gradient spike saturates the output tanh (l1 pins at exactly 1.0,
+    tanh grads die, training freezes — observed at step ~3000 of an
+    otherwise-converging run); steady-state norms sit well under the
+    default 5.0, so MelGAN results are unchanged."""
+    clip = float(getattr(args, "vocoder_grad_clip", 5.0) or 0.0)
+    tx = optax.adamw(float(getattr(args, "lr", 1e-4) or 1e-4))
+    if clip > 0:
+        return optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
+
+
 def init_voc_state(key, args, n_mels: int = 80) -> VocTrainState:
     params = G.generator_init(
         key, kind=str(getattr(args, "melgan_gen", "") or "melgan"),
         n_mels=n_mels, base=int(getattr(args, "melgan_base", 0) or 256))
-    tx = optax.adamw(float(getattr(args, "lr", 1e-4) or 1e-4))
+    tx = _voc_tx(args)
     return VocTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
 def make_vocoder_step(args, wav_l1_weight: float = 1.0):
-    tx = optax.adamw(float(getattr(args, "lr", 1e-4) or 1e-4))
+    tx = _voc_tx(args)
 
     def step(vs: VocTrainState, mel, wav):
         def loss_fn(params):
@@ -111,8 +125,7 @@ def init_adv_state(key, vs: VocTrainState, args) -> AdvTrainState:
     multi-scale, default), 'mpd' (HiFi-GAN multi-period), 'msd+mpd'."""
     disc = G.adv_disc_init(key, str(getattr(args, "melgan_disc", "")
                                     or "msd"))
-    lr = float(getattr(args, "lr", 1e-4) or 1e-4)
-    g_tx, d_tx = optax.adamw(lr), optax.adamw(lr)
+    g_tx, d_tx = _voc_tx(args), _voc_tx(args)
     return AdvTrainState(vs.params, g_tx.init(vs.params), disc,
                          d_tx.init(disc), jnp.zeros((), jnp.int32))
 
@@ -123,8 +136,7 @@ def make_adversarial_step(args, fm_weight: float = 10.0,
     term kept as a stabilizer, Parallel-WaveGAN style): updates the
     discriminator on (real, stopgrad(fake)), then the generator against
     the updated discriminator — both inside ONE jitted call."""
-    lr = float(getattr(args, "lr", 1e-4) or 1e-4)
-    g_tx, d_tx = optax.adamw(lr), optax.adamw(lr)
+    g_tx, d_tx = _voc_tx(args), _voc_tx(args)
 
     def step(ts: AdvTrainState, mel, wav):
         fake = G.generator_forward(ts.gen, mel)
