@@ -1,0 +1,187 @@
+"""Corpus-scale LEARNING evidence (round 3): supervised training at the
+flagship scale over the 12,500-utterance packed shard built by
+scripts/corpus_rehearsal.py (REAL LJSpeech transcripts from the in-package
+reference splits, shape-matched synthetic audio), with a held-out tail
+never trained on:
+
+  - train: shard items [0, N-heldout) — supervised (tts+asr) objective
+    only, FULL 816-frame / 304-token caps, flagship d=256/4L config;
+  - eval every --eval_every steps on the held-out tail: greedy KV-cached
+    ASR PER + teacher-forced losses; final greedy TTS mel MSE.
+
+This is the piece the round-2/3 rehearsal did not show: that the
+framework LEARNS at the reference's corpus scale (12.5k distinct real
+transcripts), not just that an epoch of it times well.
+
+Run (chip): python scripts/corpus_convergence.py
+  [--steps N] [--shard /root/rehearsal/full_train.unsh]
+  [--heldout 512] [--eval_every 500] [--lr 3e-4] [--bs 32]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--shard", default="/root/rehearsal/full_train.unsh")
+ap.add_argument("--steps", type=int, default=4000)
+ap.add_argument("--heldout", type=int, default=512)
+ap.add_argument("--eval_every", type=int, default=500)
+ap.add_argument("--eval_batches", type=int, default=4)
+ap.add_argument("--lr", type=float, default=3e-4)
+ap.add_argument("--bs", type=int, default=32)
+ap.add_argument("--fast_prng", default="true")
+ap.add_argument("--small", action="store_true",
+                help="tiny dims/caps for a CPU plumbing smoke")
+A = ap.parse_args()
+
+from unast_tpu.train.config import parse_with_config, model_config_from_args
+from unast_tpu.train.steps import init_train_state, make_train_step
+from unast_tpu.data.batching import BatchGetter, BatchIterator
+from unast_tpu.data.shard import PackedShardDataset
+from unast_tpu.infer.metrics import compute_per
+from unast_tpu.models import unast as U
+from unast_tpu import nn
+
+
+class SubsetShard:
+    """Index-remapped view of a PackedShardDataset that keeps the native
+    collate fast path (data/shard.py::collate_batch)."""
+
+    def __init__(self, ds, indices):
+        self.ds = ds
+        self.idx = np.asarray(indices, np.int64)
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i):
+        return self.ds[int(self.idx[i])]
+
+    def lens(self, idx):
+        return self.ds.lens(self.idx[np.asarray(idx, np.int64)])
+
+    def collate_batch(self, idx, text_cap, mel_cap):
+        return self.ds.collate_batch(
+            self.idx[np.asarray(idx, np.int64)], text_cap, mel_cap)
+
+
+CAPS = ("112", "32") if A.small else ("816", "304")
+SMALL = ["--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
+         "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
+         "--nhead", "2"] if A.small else []
+args = parse_with_config(SMALL + [
+    "--use_discriminator", "false",
+    "--max_mel_len", CAPS[0], "--max_text_len", CAPS[1],
+    "--data_mel_len", CAPS[0], "--data_text_len", CAPS[1],
+    "--ae_steps", "0", "--cm_steps", "0", "--sp_steps", "1",
+    "--d_steps", "0", "--train_batch_size", str(A.bs),
+    "--sched_type", "multistep", "--lr", str(A.lr),
+    "--optim_type", "adamw", "--compute_dtype", "bfloat16",
+    "--fast_prng", A.fast_prng])
+from unast_tpu.train.config import apply_runtime_flags
+apply_runtime_flags(args)
+cfg = model_config_from_args(args)
+
+full = PackedShardDataset(A.shard)
+n = len(full)
+train_ds = SubsetShard(full, np.arange(0, n - A.heldout))
+held_ds = SubsetShard(full, np.arange(n - A.heldout, n))
+print(f"shard {A.shard}: {n} items -> train {len(train_ds)}, "
+      f"held-out {len(held_ds)}")
+
+bg = BatchGetter(args, train_ds, train_ds, train_ds)
+ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
+
+
+@jax.jit
+def _asr_infer(params, net_state, mel, mel_len):
+    (ids, lens), _ = U.asr(params, net_state, nn.Ctx.eval(), cfg,
+                           None, None, mel, mel_len, infer=True)
+    return ids, lens
+
+
+@jax.jit
+def _tts_infer(params, net_state, text, text_len):
+    (pre, post, stops, stop_lens), _ = U.tts(
+        params, net_state, nn.Ctx.eval(), cfg, text, text_len,
+        None, None, infer=True)
+    return post, stop_lens
+
+
+def eval_per(ts, n_batches):
+    it = BatchIterator(held_ds, A.bs, int(CAPS[1]), int(CAPS[0]), seed=9)
+    edits = refs = 0
+    for _ in range(n_batches):
+        b = it.next_batch()
+        ids, lens = _asr_infer(ts.params, ts.net_state,
+                               jnp.asarray(b["mel"]),
+                               jnp.asarray(b["mel_len"]))
+        p = compute_per(b["text"], np.asarray(ids), b["text_len"],
+                        np.asarray(lens))
+        edits += p * np.sum(b["text_len"])
+        refs += np.sum(b["text_len"])
+    return float(edits / max(1, refs))
+
+
+def eval_tts_mse(ts, n_batches=1):
+    it = BatchIterator(held_ds, A.bs, int(CAPS[1]), int(CAPS[0]), seed=9)
+    errs = []
+    for _ in range(n_batches):
+        b = it.next_batch()
+        post, stop_lens = _tts_infer(ts.params, ts.net_state,
+                                     jnp.asarray(b["text"]),
+                                     jnp.asarray(b["text_len"]))
+        post = np.asarray(post, np.float32)
+        stop_lens = np.asarray(stop_lens)
+        for i in range(len(b["mel"])):
+            m = min(int(stop_lens[i]), int(b["mel_len"][i]))
+            if m > 0:
+                errs.append(np.mean((post[i, :m] - b["mel"][i, :m]) ** 2))
+    return float(np.mean(errs))
+
+
+t0 = time.perf_counter()
+print(f"held-out PER untrained: {eval_per(ts, 1):.3f} "
+      f"(eval compile {time.perf_counter() - t0:.0f}s)")
+rng = jax.random.PRNGKey(1)
+hist = []
+t_train = 0.0
+for s in range(A.steps):
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, False))
+    t0 = time.perf_counter()
+    ts, m = step(ts, jax.random.fold_in(rng, s), batches)
+    if s == 0:
+        float(m["grad_norm"])
+        print(f"first step (incl. compile): "
+              f"{time.perf_counter() - t0:.1f}s")
+    else:
+        t_train += time.perf_counter() - t0
+    if (s + 1) % A.eval_every == 0:
+        float(m["grad_norm"])  # drain
+        per = eval_per(ts, A.eval_batches)
+        hist.append({"step": s + 1, "per": round(per, 4),
+                     "sp_asr": round(float(m["sp/asr"]), 4),
+                     "sp_tts": round(float(m["sp/tts"]), 4)})
+        print(f"step {s + 1}: held-out greedy PER {per:.4f}  "
+              f"train asr CE {float(m['sp/asr']):.4f} "
+              f"tts {float(m['sp/tts']):.4f}  "
+              f"({(s + 1) * A.bs / max(t_train, 1e-9):.1f} utt/s train)")
+
+mse = eval_tts_mse(ts)
+result = {"steps": A.steps, "train_utts": len(train_ds),
+          "heldout_utts": len(held_ds),
+          "final_heldout_per": hist[-1]["per"] if hist else None,
+          "heldout_tts_infer_mse": round(mse, 5),
+          "train_s": round(t_train, 1),
+          "utt_per_s": round(A.steps * A.bs / max(t_train, 1e-9), 1),
+          "history": hist}
+print("RESULT", json.dumps(result))
