@@ -39,6 +39,9 @@ ap.add_argument("--bs", type=int, default=32)
 ap.add_argument("--fast_prng", default="true")
 ap.add_argument("--small", action="store_true",
                 help="tiny dims/caps for a CPU plumbing smoke")
+ap.add_argument("--save_path", default="",
+                help="checkpoint dir for the trained model (reusable as "
+                     "a NAR-distill teacher at corpus scale)")
 A = ap.parse_args()
 
 from unast_tpu.train.config import parse_with_config, model_config_from_args
@@ -176,6 +179,10 @@ for s in range(A.steps):
               f"tts {float(m['sp/tts']):.4f}  "
               f"({(s + 1) * A.bs / max(t_train, 1e-9):.1f} utt/s train)")
 
+if A.save_path:
+    from unast_tpu.train.checkpoint import save_ckp
+    save_ckp(0, hist[-1]["per"] if hist else 1.0, ts, True, A.save_path)
+    print(f"saved -> {A.save_path}")
 mse = eval_tts_mse(ts)
 result = {"steps": A.steps, "train_utts": len(train_ds),
           "heldout_utts": len(held_ds),
