@@ -37,6 +37,10 @@ ap.add_argument("--eval_batches", type=int, default=4)
 ap.add_argument("--lr", type=float, default=3e-4)
 ap.add_argument("--bs", type=int, default=32)
 ap.add_argument("--fast_prng", default="true")
+ap.add_argument("--ctc_weight", type=float, default=0.5,
+                help="hybrid CTC/attention weight (>0 also equips the "
+                     "teacher with the CTC head the corpus-scale NAR "
+                     "distill's forced-alignment source needs)")
 ap.add_argument("--small", action="store_true",
                 help="tiny dims/caps for a CPU plumbing smoke")
 ap.add_argument("--save_path", default="",
@@ -87,7 +91,7 @@ args = parse_with_config(SMALL + [
     "--d_steps", "0", "--train_batch_size", str(A.bs),
     "--sched_type", "multistep", "--lr", str(A.lr),
     "--optim_type", "adamw", "--compute_dtype", "bfloat16",
-    "--fast_prng", A.fast_prng])
+    "--ctc_weight", str(A.ctc_weight), "--fast_prng", A.fast_prng])
 from unast_tpu.train.config import apply_runtime_flags
 apply_runtime_flags(args)
 cfg = model_config_from_args(args)
