@@ -46,6 +46,9 @@ ap.add_argument("--small", action="store_true",
 ap.add_argument("--save_path", default="",
                 help="checkpoint dir for the trained model (reusable as "
                      "a NAR-distill teacher at corpus scale)")
+ap.add_argument("--load_path", default="",
+                help="resume from a prior --save_path checkpoint "
+                     "(params + BN state + optimizer moments)")
 A = ap.parse_args()
 
 from unast_tpu.train.config import parse_with_config, model_config_from_args
@@ -105,6 +108,10 @@ print(f"shard {A.shard}: {n} items -> train {len(train_ds)}, "
 
 bg = BatchGetter(args, train_ds, train_ds, train_ds)
 ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+if A.load_path:
+    from unast_tpu.train.checkpoint import load_ckp
+    _, prev_per, ts, _ = load_ckp(A.load_path, ts)
+    print(f"resumed from {A.load_path} (prev held-out PER {prev_per})")
 step = jax.jit(make_train_step(cfg, args), donate_argnums=(0,))
 
 
