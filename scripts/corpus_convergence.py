@@ -54,32 +54,10 @@ A = ap.parse_args()
 from unast_tpu.train.config import parse_with_config, model_config_from_args
 from unast_tpu.train.steps import init_train_state, make_train_step
 from unast_tpu.data.batching import BatchGetter, BatchIterator
-from unast_tpu.data.shard import PackedShardDataset
+from unast_tpu.data.shard import PackedShardDataset, SubsetShard
 from unast_tpu.infer.metrics import compute_per
 from unast_tpu.models import unast as U
 from unast_tpu import nn
-
-
-class SubsetShard:
-    """Index-remapped view of a PackedShardDataset that keeps the native
-    collate fast path (data/shard.py::collate_batch)."""
-
-    def __init__(self, ds, indices):
-        self.ds = ds
-        self.idx = np.asarray(indices, np.int64)
-
-    def __len__(self):
-        return len(self.idx)
-
-    def __getitem__(self, i):
-        return self.ds[int(self.idx[i])]
-
-    def lens(self, idx):
-        return self.ds.lens(self.idx[np.asarray(idx, np.int64)])
-
-    def collate_batch(self, idx, text_cap, mel_cap):
-        return self.ds.collate_batch(
-            self.idx[np.asarray(idx, np.int64)], text_cap, mel_cap)
 
 
 CAPS = ("112", "32") if A.small else ("816", "304")

@@ -1,0 +1,126 @@
+"""Corpus-scale NAR distillation (round 3, chained from
+scripts/corpus_convergence.py): distill FastSpeech from the
+corpus-scale-trained AR teacher (hybrid CTC head) over the 12.5k
+real-transcript shard, CTC forced-alignment durations, and evaluate on
+the SAME held-out tail the teacher never saw:
+
+  - predicted lengths vs gold (the round-2 measured-broken axis — the
+    ctc source fixed it at train_n 32/48; this is the 12k-scale proof),
+  - free-running NAR mel MSE vs gold.
+
+Run (chip): python scripts/corpus_nar_distill.py
+  [--steps 3000] [--teacher /root/rehearsal/teacher_ckpt/model_best.ckpt]
+  [--shard /root/rehearsal/full_train.unsh] [--dur_source ctc]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--shard", default="/root/rehearsal/full_train.unsh")
+ap.add_argument("--teacher",
+                default="/root/rehearsal/teacher_ckpt/model_best.ckpt")
+ap.add_argument("--steps", type=int, default=3000)
+ap.add_argument("--heldout", type=int, default=512)
+ap.add_argument("--eval_every", type=int, default=1000)
+ap.add_argument("--bs", type=int, default=32)
+ap.add_argument("--lr", type=float, default=3e-4)
+ap.add_argument("--dur_source", default="ctc",
+                choices=["ctc", "mas", "soft", "argmax"])
+ap.add_argument("--ctc_weight", type=float, default=0.5,
+                help="must match the teacher's training config (shapes "
+                     "the checkpoint template)")
+ap.add_argument("--fast_prng", default="true")
+A = ap.parse_args()
+
+from unast_tpu.train.config import (apply_runtime_flags,
+                                    model_config_from_args,
+                                    parse_with_config)
+from unast_tpu.train.checkpoint import load_ckp
+from unast_tpu.train.fastspeech import (eval_nar_mse, init_fs_state,
+                                        make_distill_step)
+from unast_tpu.train.steps import init_train_state
+from unast_tpu.data.batching import BatchIterator
+from unast_tpu.data.shard import PackedShardDataset
+from unast_tpu.data.shard import SubsetShard
+
+args = parse_with_config([
+    "--use_discriminator", "false",
+    "--max_mel_len", "816", "--max_text_len", "304",
+    "--data_mel_len", "816", "--data_text_len", "304",
+    "--train_batch_size", str(A.bs),
+    "--sched_type", "multistep", "--lr", str(A.lr),
+    "--optim_type", "adamw", "--compute_dtype", "bfloat16",
+    "--ctc_weight", str(A.ctc_weight),
+    "--nar_dur_source", A.dur_source, "--fast_prng", A.fast_prng])
+apply_runtime_flags(args)
+cfg = model_config_from_args(args)
+
+full = PackedShardDataset(A.shard)
+n = len(full)
+train_ds = SubsetShard(full, np.arange(0, n - A.heldout))
+held_ds = SubsetShard(full, np.arange(n - A.heldout, n))
+print(f"shard: {n} items -> distill on {len(train_ds)}, "
+      f"held-out {len(held_ds)}; durations: {A.dur_source}")
+
+t_template = init_train_state(jax.random.PRNGKey(0), cfg, args)
+_, t_per, t_ts, _ = load_ckp(A.teacher, t_template)
+print(f"teacher: {A.teacher} (held-out PER at save time: {t_per})")
+
+fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
+it = BatchIterator(train_ds, A.bs, 304, 816, seed=args.seed + 1)
+keys = ("text", "text_len", "mel", "mel_len")
+rng = jax.random.PRNGKey(2)
+
+
+def held_eval(fs, n_batches=2):
+    ev = BatchIterator(held_ds, A.bs, 304, 816, seed=9)
+    errs, lens = [], []
+    for _ in range(n_batches):
+        b = ev.next_batch()
+        mse, ls = eval_nar_mse(fs, cfg, b)
+        errs.append(mse)
+        lens += ls
+    ratios = [p / g for p, g in lens if g > 0]
+    return (float(np.mean(errs)), lens,
+            float(np.median(ratios)), float(np.mean(ratios)))
+
+
+t0 = time.perf_counter()
+hist = []
+for i in range(A.steps):
+    raw = it.next_batch()
+    batch = {k: jnp.asarray(raw[k]) for k in keys}
+    fs, m = step(fs, t_ts.params, t_ts.net_state,
+                 jax.random.fold_in(rng, i), batch)
+    if i == 0:
+        float(m["grad_norm"])
+        print(f"first distill step (incl. compile): "
+              f"{time.perf_counter() - t0:.1f}s")
+    if (i + 1) % A.eval_every == 0:
+        mse, lens, med_r, mean_r = held_eval(fs)
+        hist.append({"step": i + 1, "heldout_mse": round(mse, 5),
+                     "len_ratio_median": round(med_r, 4),
+                     "len_ratio_mean": round(mean_r, 4)})
+        print(f"step {i + 1}: post {float(m['nar/post']):.4f} dur {float(m['nar/dur']):.4f}  held-out NAR mse {mse:.5f}  "
+              f"pred/gold length ratio median {med_r:.3f} "
+              f"mean {mean_r:.3f}  sample {lens[:6]}")
+
+mse, lens, med_r, mean_r = held_eval(fs, n_batches=4)
+within10 = float(np.mean([abs(p / g - 1) <= 0.10
+                          for p, g in lens if g > 0]))
+result = {"steps": A.steps, "dur_source": A.dur_source,
+          "heldout_mse": round(mse, 5),
+          "len_ratio_median": round(med_r, 4),
+          "len_ratio_mean": round(mean_r, 4),
+          "pct_within_10pct": round(within10 * 100, 1),
+          "history": hist}
+print("RESULT", json.dumps(result))

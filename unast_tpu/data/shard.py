@@ -120,6 +120,28 @@ class PackedShardDataset:
                 "fnames": [f"SHARD-{int(i):06d}" for i in idx]}
 
 
+class SubsetShard:
+    """Index-remapped view of a PackedShardDataset (train/held-out splits
+    of one shard) that keeps the native collate fast path."""
+
+    def __init__(self, ds, indices):
+        self.ds = ds
+        self.idx = np.asarray(indices, np.int64)
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i):
+        return self.ds[int(self.idx[i])]
+
+    def lens(self, idx):
+        return self.ds.lens(self.idx[np.asarray(idx, np.int64)])
+
+    def collate_batch(self, idx, text_cap: int, mel_cap: int):
+        return self.ds.collate_batch(
+            self.idx[np.asarray(idx, np.int64)], text_cap, mel_cap)
+
+
 def main(argv: Optional[list] = None):
     import argparse
 
