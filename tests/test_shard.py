@@ -125,3 +125,39 @@ def test_corrupt_shard_fails_at_open(tmp_path):
     with _pytest.raises(Exception):
         ps = PackedShardDataset(path)
         ps.collate_batch([0, 1], 16, 64)
+
+
+def test_subset_shard_view(shard):
+    """SubsetShard remaps indices (train/held-out split of one shard)
+    while preserving item identity, lens, and the collate fast path."""
+    from unast_tpu.data.shard import SubsetShard
+
+    ds, ps = shard
+    idx = np.array([4, 1, 5])
+    sub = SubsetShard(ps, idx)
+    assert len(sub) == 3
+    for k, orig in enumerate(idx):
+        np.testing.assert_array_equal(sub[k]["ids"], ps[int(orig)]["ids"])
+        np.testing.assert_array_equal(sub[k]["mel"], ps[int(orig)]["mel"])
+    tl, ml = sub.lens([0, 2])
+    wtl, wml = ps.lens([4, 5])
+    np.testing.assert_array_equal(tl, wtl)
+    np.testing.assert_array_equal(ml, wml)
+    got = sub.collate_batch([2, 0], text_cap=20, mel_cap=64)
+    want = ps.collate_batch([5, 4], text_cap=20, mel_cap=64)
+    for key in ("text", "mel", "text_len", "mel_len"):
+        np.testing.assert_array_equal(got[key], want[key])
+
+
+def test_subset_shard_batch_iterator(shard):
+    """BatchIterator over a SubsetShard only ever yields subset items."""
+    from unast_tpu.data.shard import SubsetShard
+
+    ds, ps = shard
+    sub = SubsetShard(ps, [0, 2])
+    it = BatchIterator(sub, 2, 20, 64, seed=3)
+    allowed = {ps[i]["ids"][:20].astype(np.int32).tobytes() for i in (0, 2)}
+    for _ in range(3):
+        b = it.next_batch()
+        for r, tl in zip(b["text"], b["text_len"]):
+            assert r[:tl].astype(np.int32).tobytes() in allowed
