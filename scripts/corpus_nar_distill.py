@@ -38,6 +38,9 @@ ap.add_argument("--ctc_weight", type=float, default=0.5,
                 help="must match the teacher's training config (shapes "
                      "the checkpoint template)")
 ap.add_argument("--fast_prng", default="true")
+ap.add_argument("--small", action="store_true",
+                help="tiny dims/caps for a CPU plumbing smoke (pairs "
+                     "with corpus_convergence.py --small)")
 A = ap.parse_args()
 
 from unast_tpu.train.config import (apply_runtime_flags,
@@ -51,10 +54,14 @@ from unast_tpu.data.batching import BatchIterator
 from unast_tpu.data.shard import PackedShardDataset
 from unast_tpu.data.shard import SubsetShard
 
-args = parse_with_config([
+CAPS = ("112", "32") if A.small else ("816", "304")
+SMALL = ["--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
+         "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
+         "--nhead", "2"] if A.small else []
+args = parse_with_config(SMALL + [
     "--use_discriminator", "false",
-    "--max_mel_len", "816", "--max_text_len", "304",
-    "--data_mel_len", "816", "--data_text_len", "304",
+    "--max_mel_len", CAPS[0], "--max_text_len", CAPS[1],
+    "--data_mel_len", CAPS[0], "--data_text_len", CAPS[1],
     "--train_batch_size", str(A.bs),
     "--sched_type", "multistep", "--lr", str(A.lr),
     "--optim_type", "adamw", "--compute_dtype", "bfloat16",
@@ -76,13 +83,14 @@ print(f"teacher: {A.teacher} (held-out PER at save time: {t_per})")
 
 fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
 step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
-it = BatchIterator(train_ds, A.bs, 304, 816, seed=args.seed + 1)
+it = BatchIterator(train_ds, A.bs, int(CAPS[1]), int(CAPS[0]),
+                   seed=args.seed + 1)
 keys = ("text", "text_len", "mel", "mel_len")
 rng = jax.random.PRNGKey(2)
 
 
 def held_eval(fs, n_batches=2):
-    ev = BatchIterator(held_ds, A.bs, 304, 816, seed=9)
+    ev = BatchIterator(held_ds, A.bs, int(CAPS[1]), int(CAPS[0]), seed=9)
     errs, lens = [], []
     for _ in range(n_batches):
         b = ev.next_batch()
