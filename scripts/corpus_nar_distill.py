@@ -41,6 +41,9 @@ ap.add_argument("--fast_prng", default="true")
 ap.add_argument("--small", action="store_true",
                 help="tiny dims/caps for a CPU plumbing smoke (pairs "
                      "with corpus_convergence.py --small)")
+ap.add_argument("--save_path", default="",
+                help="pickle the distilled (params, net_state) — the "
+                     "Synthesizer(nar_pv=...) serving artifact")
 A = ap.parse_args()
 
 from unast_tpu.train.config import (apply_runtime_flags,
@@ -121,6 +124,13 @@ for i in range(A.steps):
         print(f"step {i + 1}: post {float(m['nar/post']):.4f} dur {float(m['nar/dur']):.4f}  held-out NAR mse {mse:.5f}  "
               f"pred/gold length ratio median {med_r:.3f} "
               f"mean {mean_r:.3f}  sample {lens[:6]}")
+
+if A.save_path:
+    import pickle
+    with open(A.save_path, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(
+            np.asarray, (fs.params, fs.net_state)), f)
+    print(f"saved nar_pv -> {A.save_path}")
 
 mse, lens, med_r, mean_r = held_eval(fs, n_batches=4)
 within10 = float(np.mean([abs(p / g - 1) <= 0.10

@@ -35,6 +35,9 @@ ap.add_argument("--frames", type=int, default=40)
 ap.add_argument("--heldout", type=int, default=64)
 ap.add_argument("--eval_n", type=int, default=16)
 ap.add_argument("--log_every", type=int, default=500)
+ap.add_argument("--save_path", default="",
+                help="pickle the trained generator params — the "
+                     "Synthesizer(melgan_params=...) serving artifact")
 A = ap.parse_args()
 
 from unast_tpu.audio import dsp
@@ -108,6 +111,12 @@ for i in range(A.steps):
               f"({(i) / max(time.perf_counter() - t0, 1e-9):.1f} steps/s, "
               f"host-data {t_host / max(time.perf_counter() - t0, 1e-9) * 100:.0f}%)")
 train_s = time.perf_counter() - t0
+
+if A.save_path:
+    import pickle
+    with open(A.save_path, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, vs.params), f)
+    print(f"saved vocoder params -> {A.save_path}")
 
 # ---- held-out full-utterance scoring (protocol of melgan_check.py) ----
 FR = 96  # fixed frame bucket: one compile per path

@@ -81,6 +81,13 @@ def load_ckp(ckpt_fpath: str, template: TrainState
     wait_for_saves()  # the path may still be mid-write by an async save
     if not os.path.exists(ckpt_fpath):
         raise FileNotFoundError(f"no checkpoint at {ckpt_fpath}")
+    # convenience: a save DIRECTORY (save_ckp's target) resolves to its
+    # best checkpoint (meta.json lives next to the inner .ckpt dirs)
+    if (os.path.isdir(ckpt_fpath)
+            and not os.path.exists(ckpt_fpath + ".meta.json")):
+        inner = os.path.join(ckpt_fpath, "model_best.ckpt")
+        if os.path.exists(inner + ".meta.json"):
+            ckpt_fpath = inner
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     ts = ckptr.restore(os.path.abspath(ckpt_fpath), abstract)
