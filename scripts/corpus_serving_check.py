@@ -69,13 +69,18 @@ cfg = model_config_from_args(args)
 # ---- held-out texts (shard tail order == the training scripts' split) ----
 full = PackedShardDataset(A.shard)
 n_items = len(full)
-tail = [full[i] for i in range(n_items - A.heldout, n_items - A.heldout + A.n)]
-meta = {}
+tail_idx = range(n_items - A.heldout, n_items - A.heldout + A.n)
+tail = [full[i] for i in tail_idx]
+# shard row i was written from metadata.csv line i (prepare.main loads the
+# manifest and _write_shard_from_cache iterates it in order); shard items
+# carry synthetic SHARD-%06d fnames, so map back by POSITION, not name.
 with open(A.metadata, encoding="utf-8") as f:
-    for line in f:
-        parts = line.rstrip("\n").split("|")
-        meta[parts[0]] = parts[1]
-texts = [meta[it["fname"]] for it in tail]
+    meta_rows = [ln.rstrip("\n").split("|") for ln in f if ln.strip()]
+assert len(meta_rows) == n_items, (len(meta_rows), n_items)
+texts = [meta_rows[i][1] for i in tail_idx]
+_chk = np.asarray(raw_text_to_phoneme_ids(texts[0]), np.int32)
+assert np.array_equal(_chk, np.asarray(tail[0]["ids"])), \
+    "metadata/shard order mismatch"
 print(f"{len(texts)} held-out transcripts "
       f"(e.g. {texts[0][:60]!r}...)")
 
