@@ -32,6 +32,9 @@ ap.add_argument("--steps", type=int, default=4000)
 ap.add_argument("--gen", default="hifigan", choices=["melgan", "hifigan"])
 ap.add_argument("--bs", type=int, default=16)
 ap.add_argument("--frames", type=int, default=40)
+ap.add_argument("--no_shards", action="store_true",
+                help="force the per-file load path (default: use/build "
+                     "the packed mel+wav shards and window-read crops)")
 ap.add_argument("--heldout", type=int, default=64)
 ap.add_argument("--eval_n", type=int, default=16)
 ap.add_argument("--log_every", type=int, default=500)
@@ -73,12 +76,36 @@ class CorpusVocItems:
         return {"mel": mel, "wav": wav}
 
 
-names = sorted(f[:-len(".mel.npy")]
-               for f in os.listdir(os.path.join(A.workdir, "mel_cache"))
-               if f.endswith(".mel.npy"))
-train_items = CorpusVocItems(A.workdir, names[:-A.heldout])
-eval_items = CorpusVocItems(A.workdir, names[-A.heldout:])
-print(f"corpus: {len(names)} clips -> train {len(train_items)}, "
+mel_shard = os.path.join(A.workdir, "full_train.unsh")
+wav_shard = os.path.join(A.workdir, "full_train.unwv")
+if not A.no_shards and os.path.exists(mel_shard):
+    # Packed-shard path: window reads off two mmaps (shard order ==
+    # metadata order == the training scripts' split, so the held-out
+    # tail here is the SAME tail the teacher/NAR never saw).
+    from unast_tpu.data.prepare import write_wav_shard_from_dir
+    from unast_tpu.data.dataset import load_manifest
+    from unast_tpu.data.shard import (MelWavCrops, PackedShardDataset,
+                                      WavShardDataset)
+    if not os.path.exists(wav_shard):
+        t0 = time.perf_counter()
+        rows = load_manifest(os.path.join(A.workdir, "metadata.csv"))
+        write_wav_shard_from_dir(rows, os.path.join(A.workdir, "wavs"),
+                                 wav_shard)
+        print(f"wav shard built in {time.perf_counter() - t0:.0f}s")
+    mel_ds = PackedShardDataset(mel_shard)
+    wav_ds = WavShardDataset(wav_shard)
+    n = len(mel_ds)
+    train_items = MelWavCrops(mel_ds, wav_ds, np.arange(0, n - A.heldout))
+    eval_items = MelWavCrops(mel_ds, wav_ds, np.arange(n - A.heldout, n))
+    n_clips = n
+else:
+    names = sorted(f[:-len(".mel.npy")]
+                   for f in os.listdir(os.path.join(A.workdir, "mel_cache"))
+                   if f.endswith(".mel.npy"))
+    train_items = CorpusVocItems(A.workdir, names[:-A.heldout])
+    eval_items = CorpusVocItems(A.workdir, names[-A.heldout:])
+    n_clips = len(names)
+print(f"corpus: {n_clips} clips -> train {len(train_items)}, "
       f"held-out {len(eval_items)} (scoring {A.eval_n}); gen={A.gen}")
 
 

@@ -161,3 +161,91 @@ def test_subset_shard_batch_iterator(shard):
         b = it.next_batch()
         for r, tl in zip(b["text"], b["text_len"]):
             assert r[:tl].astype(np.int32).tobytes() in allowed
+
+
+# ---- wav shards + window-read crops (vocoder-training fast path) ----
+
+from unast_tpu.data.shard import (MelWavCrops, WavShardDataset,
+                                  write_wav_shard)
+
+
+@pytest.fixture(scope="module")
+def wav_pair(tmp_path_factory):
+    """Aligned mel + wav shards: wav lengths follow each item's mel frames
+    (hop 4 for test speed), with one SHORT wav to exercise padding."""
+    rng = np.random.default_rng(0)
+    hop = 4
+    ds = SyntheticSpeechDataset(size=6, seed=0)
+    items = [ds[i] for i in range(len(ds))]
+    wavs = []
+    for j, it in enumerate(items):
+        n = it["mel"].shape[0] * hop - (7 if j == 2 else 0)
+        wavs.append((rng.standard_normal(n) * 0.3).astype(np.float32))
+    d = tmp_path_factory.mktemp("wavshard")
+    mp = str(d / "c.unsh")
+    wp = str(d / "c.unwv")
+    write_shard(iter(items), mp)
+    write_wav_shard(wavs, wp, sr=22050)
+    return items, wavs, PackedShardDataset(mp), WavShardDataset(wp), hop
+
+
+def test_wav_shard_roundtrip_quantization(wav_pair):
+    items, wavs, mel_ds, wav_ds, hop = wav_pair
+    assert len(wav_ds) == len(wavs) and wav_ds.sr == 22050
+    for i, w in enumerate(wavs):
+        got = wav_ds[i]
+        # float in -> int16 (write_wav quantization) -> /32768 out
+        expect = (np.clip(w, -1, 1) * 32767.0).astype(np.int16) / 32768.0
+        np.testing.assert_array_equal(got, expect.astype(np.float32))
+
+
+def test_wav_shard_int16_exact(tmp_path):
+    pcm = (np.arange(-5, 6) * 1000).astype(np.int16)
+    p = str(tmp_path / "i.unwv")
+    write_wav_shard([pcm], p)
+    got = WavShardDataset(p)[0]
+    np.testing.assert_array_equal(got, pcm.astype(np.float32) / 32768.0)
+
+
+def test_wav_crop_is_slice_with_padding(wav_pair):
+    _, wavs, _, wav_ds, _ = wav_pair
+    full = wav_ds[1]
+    np.testing.assert_array_equal(wav_ds.crop(1, 3, 9), full[3:12])
+    tail = wav_ds.crop(1, len(full) - 4, 10)  # past the end: zero-pad
+    np.testing.assert_array_equal(tail[:4], full[-4:])
+    assert (tail[4:] == 0).all()
+
+
+def test_mel_crop_is_slice_with_padding(wav_pair):
+    items, _, mel_ds, _, _ = wav_pair
+    full = mel_ds[0]["mel"]
+    np.testing.assert_array_equal(mel_ds.mel_crop(0, 2, 5), full[2:7])
+    f = full.shape[0]
+    tail = mel_ds.mel_crop(0, f - 2, 6)
+    np.testing.assert_array_equal(tail[:2], full[-2:])
+    assert (tail[2:] == 0).all()
+
+
+def test_crop_batch_fast_path_matches_slow(wav_pair):
+    """crop_batch over MelWavCrops (window reads) must equal crop_batch
+    over equivalent in-memory items, same seed — incl. the short wav."""
+    from unast_tpu.train.melgan import crop_batch
+
+    items, wavs, mel_ds, wav_ds, hop = wav_pair
+    view = MelWavCrops(mel_ds, wav_ds)
+    slow_items = [{"mel": mel_ds[i]["mel"], "wav": wav_ds[i]}
+                  for i in range(len(wavs))]
+    f_m, f_w = crop_batch(view, np.random.default_rng(7), 16, 5, hop)
+    s_m, s_w = crop_batch(slow_items, np.random.default_rng(7), 16, 5, hop)
+    np.testing.assert_array_equal(f_m, s_m)
+    np.testing.assert_array_equal(f_w, s_w)
+
+
+def test_melwav_crops_subset_indices(wav_pair):
+    items, wavs, mel_ds, wav_ds, hop = wav_pair
+    sub = MelWavCrops(mel_ds, wav_ds, indices=[4, 1])
+    assert len(sub) == 2
+    np.testing.assert_array_equal(sub[0]["mel"], mel_ds[4]["mel"])
+    np.testing.assert_array_equal(sub[1]["wav"], wav_ds[1])
+    mf, ns = sub.crop_lens(1)
+    assert mf == items[1]["mel"].shape[0] and ns == len(wavs[1])

@@ -31,6 +31,19 @@ def read_wav(path: str, expect_sr: int = 22050) -> np.ndarray:
     return (data / 32768.0).astype(np.float32)
 
 
+def read_wav_pcm16(path: str, expect_sr: int = 22050) -> np.ndarray:
+    """Raw int16 samples (mono-mixed) — for packing wav shards without a
+    float round-trip, so the shard is byte-exact with the .wav payload."""
+    with wave.open(path, "rb") as w:
+        assert w.getframerate() == expect_sr, (
+            f"{path}: sr {w.getframerate()} != {expect_sr}")
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(
+                axis=1).astype(np.int16)
+    return data
+
+
 def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool,
                  with_f0: bool = False, with_mag: bool = True):
     wav = read_wav(wav_path)
@@ -74,6 +87,11 @@ def main(argv=None):
     ap.add_argument("--f0", action="store_true",
                     help="also cache frame-level F0 (<id>.f0.npy, "
                          "audio/pitch.py) for the FastSpeech pitch adaptor")
+    ap.add_argument("--wav_shard_out", type=str, default=None,
+                    help="also pack the PCM16 waveforms into ONE mmap-able "
+                         "wav shard (data/shard.py::WavShardDataset), "
+                         "manifest order == the mel shard's — the vocoder "
+                         "trainer's window-read fast path")
     ap.add_argument("--no_mag", action="store_true",
                     help="skip the .mag.npy caches (only vocoder training "
                          "reads them; saves ~13x the mel bytes)")
@@ -105,6 +123,27 @@ def main(argv=None):
     print(f"[prepare] done: {len(rows)} clips, {total} frames")
     if args.shard_out:
         _write_shard_from_cache(rows, args.cache_dir, args.shard_out)
+    if args.wav_shard_out:
+        write_wav_shard_from_dir(rows, os.path.join(args.data_path, "wavs"),
+                                 args.wav_shard_out)
+
+
+def write_wav_shard_from_dir(rows, wavs_dir: str, out_path: str):
+    """Pack <wavs_dir>/<fid>.wav (PCM16, manifest order) into one wav
+    shard, byte-exact with the file payloads (no float round-trip)."""
+    from .shard import write_wav_shard
+
+    class _Seq:
+        def __len__(self):
+            return len(rows)
+
+        def __iter__(self):
+            for fid, _ in rows:
+                yield read_wav_pcm16(os.path.join(wavs_dir, fid + ".wav"))
+
+    write_wav_shard(_Seq(), out_path)
+    print(f"[prepare] wav shard: {out_path} "
+          f"({os.path.getsize(out_path) / 1e6:.1f} MB)")
 
 
 def _write_shard_from_cache(rows, cache_dir: str, out_path: str):

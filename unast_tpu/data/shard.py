@@ -94,6 +94,20 @@ class PackedShardDataset:
         ).reshape(mf, self.n_mels).astype(np.float32)
         return {"ids": ids, "mel": mel, "fname": f"SHARD-{i:06d}"}
 
+    def mel_crop(self, i: int, t0: int, frames: int) -> np.ndarray:
+        """float32 [frames, n_mels] window starting at frame t0
+        (zero-padded past the end) — reads only the window's bytes."""
+        _, _, moff, mf = (int(v) for v in self._index[i])
+        t0 = min(max(t0, 0), mf)
+        take = max(0, min(frames, mf - t0))
+        row = 2 * self.n_mels
+        mel = np.frombuffer(
+            self._mm[moff + row * t0:moff + row * (t0 + take)], np.float16
+        ).reshape(take, self.n_mels)
+        out = np.zeros((frames, self.n_mels), np.float32)
+        out[:take] = mel
+        return out
+
     def collate_batch(self, idx, text_cap: int, mel_cap: int):
         """One fixed-shape batch {'text','mel','text_len','mel_len',
         'fnames'} — native single call, matching batching.collate."""
@@ -118,6 +132,120 @@ class PackedShardDataset:
         text, mel, tl, ml = out
         return {"text": text, "mel": mel, "text_len": tl, "mel_len": ml,
                 "fnames": [f"SHARD-{int(i):06d}" for i in idx]}
+
+
+WAV_MAGIC = b"UNWV"
+WAV_HEADER = struct.Struct("<4sIQII")  # magic, version, n_items, sr, pad
+
+
+def write_wav_shard(wavs, path: str, sr: int = 22050):
+    """Pack waveforms into ONE mmap-able int16 file (vocoder-training
+    sibling of `write_shard`; index: n_items x 2 u64 = off, n_samples).
+
+    `wavs`: SIZED iterable (len() must work) of 1-D arrays — int16 is
+    stored verbatim; float is treated as [-1, 1] and quantized exactly
+    like infer/synthesize.py::write_wav, so a shard built from float
+    equals one built from the PCM16 .wav files those floats produce.
+    Streams item-by-item: peak memory is one waveform."""
+    n = len(wavs)
+    index = np.zeros((n, 2), np.uint64)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(WAV_HEADER.pack(WAV_MAGIC, VERSION, n, sr, 0))
+        f.write(index.tobytes())  # placeholder, rewritten below
+        off = WAV_HEADER.size + index.nbytes
+        for i, w in enumerate(wavs):
+            w = np.asarray(w)
+            if w.dtype != np.int16:
+                w = (np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
+            w = np.ascontiguousarray(w)
+            index[i] = (off, len(w))
+            f.write(w.tobytes())
+            off += w.nbytes
+        f.seek(WAV_HEADER.size)
+        f.write(index.tobytes())
+    os.replace(tmp, path)
+    return path
+
+
+class WavShardDataset:
+    """Reads a packed wav shard. `crop` slices only the requested window
+    out of the mmap — random-crop vocoder sampling touches ~F*hop*2 bytes
+    per draw instead of decoding whole files (the measured host-data cost
+    that dominated corpus vocoder training wall time)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            magic, version, n, sr, _ = WAV_HEADER.unpack(
+                f.read(WAV_HEADER.size))
+        if magic != WAV_MAGIC or version != VERSION:
+            raise ValueError(f"{path}: not a v{VERSION} UNWV wav shard")
+        self.sr = int(sr)
+        self._n = int(n)
+        self._mm = np.memmap(path, np.uint8, mode="r")
+        self._index = np.frombuffer(
+            self._mm[WAV_HEADER.size:WAV_HEADER.size + n * 16], np.uint64
+        ).reshape(self._n, 2)
+
+    def __len__(self):
+        return self._n
+
+    def lens(self, idx):
+        return self._index[np.asarray(idx, np.int64), 1].astype(np.int64)
+
+    def _pcm(self, i: int, s0: int, count: int):
+        off, ns = (int(v) for v in self._index[i])
+        s0 = min(max(s0, 0), int(ns))
+        take = max(0, min(count, int(ns) - s0))
+        pcm = np.frombuffer(
+            self._mm[off + 2 * s0:off + 2 * (s0 + take)], np.int16)
+        return pcm, take
+
+    def crop(self, i: int, s0: int, count: int) -> np.ndarray:
+        """float32 [count] window starting at sample s0 (zero-padded past
+        the end), scaled exactly as data/prepare.py::read_wav."""
+        pcm, take = self._pcm(i, s0, count)
+        out = np.zeros((count,), np.float32)
+        out[:take] = pcm.astype(np.float32) / 32768.0
+        return out
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        ns = int(self._index[i, 1])
+        return self.crop(i, 0, ns)
+
+
+class MelWavCrops:
+    """Aligned (mel shard, wav shard) view for vocoder training — both
+    shards written in the same manifest order. `crop_pair` reads ONLY the
+    crop window from each mmap; `__getitem__` keeps the {'mel','wav'}
+    item contract of train/melgan.py's slow path."""
+
+    def __init__(self, mel_ds: "PackedShardDataset", wav_ds: WavShardDataset,
+                 indices=None):
+        assert len(mel_ds) == len(wav_ds), (len(mel_ds), len(wav_ds))
+        self.mel_ds = mel_ds
+        self.wav_ds = wav_ds
+        self.idx = (np.arange(len(mel_ds), dtype=np.int64)
+                    if indices is None else np.asarray(indices, np.int64))
+
+    def __len__(self):
+        return len(self.idx)
+
+    def crop_lens(self, i: int):
+        """(mel_frames, wav_samples) for view index i — index IO only."""
+        j = int(self.idx[i])
+        return (int(self.mel_ds._index[j, 3]),
+                int(self.wav_ds._index[j, 1]))
+
+    def crop_pair(self, i: int, t0: int, frames: int, hop: int):
+        j = int(self.idx[i])
+        return (self.mel_ds.mel_crop(j, t0, frames),
+                self.wav_ds.crop(j, t0 * hop, frames * hop))
+
+    def __getitem__(self, i: int):
+        j = int(self.idx[i])
+        return {"mel": self.mel_ds[j]["mel"], "wav": self.wav_ds[j]}
 
 
 class SubsetShard:

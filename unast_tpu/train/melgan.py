@@ -182,20 +182,32 @@ def make_adversarial_step(args, fm_weight: float = 10.0,
 def crop_batch(ds, rng: np.random.Generator, batch: int, frames: int,
                hop: int):
     """Random aligned (mel [B, F, 80], wav [B, F*hop]) crops from dataset
-    items carrying a 'wav' key."""
+    items carrying a 'wav' key. If `ds` exposes the window-read protocol
+    (crop_lens/crop_pair — data/shard.py::MelWavCrops over packed mmap
+    shards) only the crop window's bytes are touched per draw, instead of
+    decoding whole files; the rng draw sequence is identical on both
+    paths, so the same seed yields the same crops."""
+    fast = hasattr(ds, "crop_pair")
     mels, wavs = [], []
     for _ in range(batch):
-        it = ds[int(rng.integers(len(ds)))]
-        mel, wav = it["mel"], it["wav"]
-        t_max = max(1, min(mel.shape[0] - frames,
-                           len(wav) // hop - frames))
-        t0 = int(rng.integers(t_max)) if t_max > 1 else 0
-        m = mel[t0:t0 + frames]
-        w = wav[t0 * hop:(t0 + frames) * hop]
-        if m.shape[0] < frames:  # short utterance: zero-pad
-            m = np.pad(m, ((0, frames - m.shape[0]), (0, 0)))
-        if len(w) < frames * hop:
-            w = np.pad(w, (0, frames * hop - len(w)))
+        i = int(rng.integers(len(ds)))
+        if fast:
+            mf, ns = ds.crop_lens(i)
+            t_max = max(1, min(mf - frames, ns // hop - frames))
+            t0 = int(rng.integers(t_max)) if t_max > 1 else 0
+            m, w = ds.crop_pair(i, t0, frames, hop)
+        else:
+            it = ds[i]
+            mel, wav = it["mel"], it["wav"]
+            t_max = max(1, min(mel.shape[0] - frames,
+                               len(wav) // hop - frames))
+            t0 = int(rng.integers(t_max)) if t_max > 1 else 0
+            m = mel[t0:t0 + frames]
+            w = wav[t0 * hop:(t0 + frames) * hop]
+            if m.shape[0] < frames:  # short utterance: zero-pad
+                m = np.pad(m, ((0, frames - m.shape[0]), (0, 0)))
+            if len(w) < frames * hop:
+                w = np.pad(w, (0, frames * hop - len(w)))
         mels.append(m)
         wavs.append(w)
     return (np.stack(mels).astype(np.float32),
