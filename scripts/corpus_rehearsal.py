@@ -106,7 +106,8 @@ def phase_b(args):
         kept.append(f"{fid}|{text}|{text}")
         if not os.path.exists(path):  # resumable
             ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
-            wav = synth_audio(ids, 22050, rng, phoneme_dur_s=0.04)
+            wav = synth_audio(ids, 22050, rng, phoneme_dur_s=0.04,
+                              timbre=args.timbre)
             # LJSpeech clips are <= ~10.1 s; cap synthetic audio the same
             write_wav(path, wav[: int(10.0 * 22050)])
         if (i + 1) % 1000 == 0:
@@ -120,7 +121,8 @@ def phase_b(args):
     shard = os.path.join(root, "full_train.unsh")
     t0 = time.perf_counter()
     prepare.main(["--data_path", root, "--cache_dir", cache, "--no_mag",
-                  "--shard_out", shard])
+                  "--shard_out", shard,
+                  "--wav_shard_out", os.path.join(root, "full_train.unwv")])
     t_prep = time.perf_counter() - t0
     print(f"[B] prepare+shard: {t_prep:.0f}s total "
           f"({len(rows) / t_prep:.1f} clips/s end-to-end), shard "
@@ -193,6 +195,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all", choices=["a", "b", "c", "all"])
     ap.add_argument("--workdir", default="/root/rehearsal")
+    ap.add_argument("--timbre", default="harmonic",
+                    choices=["harmonic", "formant"],
+                    help="phoneme->spectrum mapping of the synthetic "
+                         "audio; 'formant' ids are mel-bin-separated, the "
+                         "round-trip-intelligibility corpus (see "
+                         "data/dataset.py::synth_audio)")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)

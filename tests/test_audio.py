@@ -230,3 +230,33 @@ def test_mcd_properties():
     assert mcd(mel, mel[:30], P) < 1e-9
     c = mel_cepstra(mel, P)
     assert c.shape == (50, 13) and np.isfinite(c).all()
+
+
+def test_formant_timbre_mel_separability():
+    """timbre='formant' phoneme signatures must stay multiple mel bins
+    apart (the round-trip-intelligibility property the harmonic corpus
+    lacks: its 12 Hz id spacing is sub-mel-bin and pid%37 collides ids —
+    see data/dataset.py::synth_audio)."""
+    from unast_tpu.audio import ref_dsp
+    from unast_tpu.audio.params import DEFAULT as P
+    from unast_tpu.data.dataset import synth_audio
+
+    rng = np.random.default_rng(0)
+    tpl = []
+    for pid in range(46):
+        w = synth_audio(np.asarray([pid] * 8, np.int32), P.sr, rng,
+                        phoneme_dur_s=0.08, timbre="formant")
+        mel, _ = ref_dsp.wav_to_mel_mag(w, P, trim=False)
+        tpl.append(np.asarray(mel[3:-3]).mean(0))
+    tpl = np.stack(tpl)
+    d = np.sqrt(((tpl[None] - tpl[:, None]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    # no identical ids, and every pair separated by a solid margin
+    assert d.min() > 0.5, d.min()
+    # nearest-template classification robust to blur + noise
+    errs = 0
+    for p in range(46):
+        noisy = tpl[p] + rng.standard_normal(80) * 0.09
+        noisy = np.convolve(noisy, [0.25, 0.5, 0.25], mode="same")
+        errs += int(np.argmin(((tpl - noisy) ** 2).sum(1)) != p)
+    assert errs == 0, errs

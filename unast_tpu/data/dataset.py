@@ -89,24 +89,54 @@ def synth_sentence(rng: np.random.Generator, n_words: Tuple[int, int]):
     return " ".join(rng.choice(_SYNTH_WORDS, size=k))
 
 
+# Formant-timbre grid: 7x7 (F1, F2) pairs covering 46 phoneme ids with
+# >= ~3.8 mel-bin separation between ANY two ids' signatures (measured
+# with the package DSP). The harmonic timbre's 12 Hz id spacing is
+# SUB-mel-bin (~0.3 bin at f0, ~0.5 at 2*f0) and pid%37 makes 18 ids
+# acoustically identical — gold-mel ASR still works (it reads exact
+# filterbank-leakage ratios) but NO regression-smoothed synthesis can
+# round-trip it (measured: template-NN confusion 26.7% harmonic vs 0.0%
+# formant under blur+noise) — use timbre='formant' for corpora whose
+# round-trip intelligibility should be achievable.
+_FORMANT_F1 = (400.0, 800.0, 1200.0, 1600.0, 2000.0, 2400.0, 3000.0)
+_FORMANT_F2 = (3600.0, 4400.0, 5200.0, 6000.0, 6800.0, 7600.0, 8400.0)
+
+
 def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
                 phoneme_dur_s: float = 0.08,
-                f0_scale: float = 1.0, gain: float = 1.0) -> np.ndarray:
-    """Each phoneme id becomes a short harmonic stack whose fundamental is a
+                f0_scale: float = 1.0, gain: float = 1.0,
+                timbre: str = "harmonic") -> np.ndarray:
+    """Each phoneme id becomes a short tone whose spectrum is a
     deterministic function of the id — audio correlates with the text, so
     ASR/TTS training on this corpus is learnable in principle. `f0_scale`
     multiplies every fundamental (per-utterance pitch variability for the
     FastSpeech pitch adaptor: without it, pitch is a function of phoneme
     identity and a trained decoder ignores pitch conditioning entirely —
-    measured shift response exactly 1.000)."""
+    measured shift response exactly 1.000).
+
+    timbre='harmonic' (default): f0 = 120 + 12*(pid % 37) + octave — the
+    historical corpus; ids are sub-mel-bin apart (see _FORMANT_F1 note).
+    timbre='formant': two 'formant' sines from a coarse 7x7 grid — every
+    id pair is multiple mel bins apart, so round-trip intelligibility
+    (synthesize -> DSP -> ASR) is achievable, not just gold-mel ASR.
+    f0_scale is identity-preserving here: it scales an added low buzz
+    (120 Hz) rather than the formants."""
     n = max(1, int(phoneme_dur_s * sr))
     t = np.arange(n) / sr
     segs = []
     for pid in ids:
-        f0 = (120.0 + 12.0 * (int(pid) % 37)) * f0_scale
-        seg = (0.5 * np.sin(2 * np.pi * f0 * t)
-               + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
-               + 0.02 * rng.standard_normal(n))
+        if timbre == "formant":
+            f1 = _FORMANT_F1[int(pid) % 7]
+            f2 = _FORMANT_F2[(int(pid) // 7) % 7]
+            seg = (0.6 * np.sin(2 * np.pi * f1 * t)
+                   + 0.4 * np.sin(2 * np.pi * f2 * t)
+                   + 0.1 * np.sin(2 * np.pi * 120.0 * f0_scale * t)
+                   + 0.02 * rng.standard_normal(n))
+        else:
+            f0 = (120.0 + 12.0 * (int(pid) % 37)) * f0_scale
+            seg = (0.5 * np.sin(2 * np.pi * f0 * t)
+                   + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+                   + 0.02 * rng.standard_normal(n))
         env = np.hanning(n)
         segs.append(seg * env)
     wav = np.concatenate(segs) if segs else np.zeros(n)
@@ -122,10 +152,11 @@ class SyntheticSpeechDataset:
                  n_words: Tuple[int, int] = (2, 5), params=AUDIO_DEFAULT,
                  phoneme_dur_s: float = 0.08, include_f0: bool = False,
                  pitch_jitter: float = 0.0, gain_jitter: float = 0.0,
-                 jitter_variants: int = 1):
+                 jitter_variants: int = 1, timbre: str = "harmonic"):
         self.size = size
         self.params = params
         self.phoneme_dur_s = phoneme_dur_s
+        self.timbre = timbre
         self.include_f0 = include_f0  # frame-level F0 (audio/pitch.py)
         # per-utterance log-uniform F0 scale in [e^-j, e^j] (see
         # synth_audio.f0_scale; needed to train a usable pitch adaptor)
@@ -166,7 +197,8 @@ class SyntheticSpeechDataset:
                     if self.gain_jitter > 0 else 1.0)
             wav = synth_audio(ids, self.params.sr, rng,
                               phoneme_dur_s=self.phoneme_dur_s,
-                              f0_scale=scale, gain=gain)
+                              f0_scale=scale, gain=gain,
+                              timbre=self.timbre)
             mel, mag = ref_dsp.wav_to_mel_mag(wav, self.params, trim=False)
             # raw wav kept for neural-vocoder training (train/melgan.py);
             # collate ignores extra keys
