@@ -37,6 +37,12 @@ ap.add_argument("--eval_batches", type=int, default=4)
 ap.add_argument("--lr", type=float, default=3e-4)
 ap.add_argument("--bs", type=int, default=32)
 ap.add_argument("--fast_prng", default="true")
+ap.add_argument("--s_eos_weight", type=float, default=16.0,
+                help="stop-BCE pos_weight; the round-2 calibration study "
+                     "(BENCHMARKS.md) measured the reference default 5 "
+                     "under-firing (stop-len MAE 44 frames) vs 12.5 at 16 "
+                     "— the corpus-scale teacher overshot lengths ~40% "
+                     "at 5")
 ap.add_argument("--ctc_weight", type=float, default=0.5,
                 help="hybrid CTC/attention weight (>0 also equips the "
                      "teacher with the CTC head the corpus-scale NAR "
@@ -72,6 +78,7 @@ args = parse_with_config(SMALL + [
     "--d_steps", "0", "--train_batch_size", str(A.bs),
     "--sched_type", "multistep", "--lr", str(A.lr),
     "--optim_type", "adamw", "--compute_dtype", "bfloat16",
+    "--s_eos_weight", str(A.s_eos_weight),
     "--ctc_weight", str(A.ctc_weight), "--fast_prng", A.fast_prng])
 from unast_tpu.train.config import apply_runtime_flags
 apply_runtime_flags(args)

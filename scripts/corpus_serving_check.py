@@ -152,10 +152,29 @@ rounds = list(syn.last_spec_rounds)
 per_gold_ctc = per_of(syn.asr_ids(gold_mels))
 per_gold_spec = per_of(syn.asr_ids(gold_mels, spec=True))
 
+# stage isolation: (a) NAR mels straight into the ASR (no vocoder) and
+# (b) gold mels through vocoder+DSP (no synthesis model) — localizes any
+# round-trip gap to the synthesis front end vs the audio back end.
+nar_direct = [np.asarray(m, np.float32) for m in syn.tts_mels(texts)]
+per_nar_direct = per_of(syn.asr_ids(nar_direct))
+from unast_tpu.models import melgan as G
+_voc = jax.jit(lambda m: G.generator_forward(voc_params, m))
+voc_gold = []
+for m in gold_mels:
+    t = min(cfg.max_mel_len, m.shape[0])
+    buf = np.zeros((1, cfg.max_mel_len, P.num_mels), np.float32)
+    buf[0, :t] = m[:t]
+    w = np.asarray(_voc(jnp.asarray(buf)))[0, :t * P.hop_length]
+    mel, _, nf = dsp.wav_to_mel_mag(w.astype(np.float32), P)
+    voc_gold.append(np.asarray(mel[:nf], np.float32))
+per_voc_gold = per_of(syn.asr_ids(voc_gold))
+
 print(f"round-trip PER (synthesized audio): ctc {per_ctc:.3f}  "
       f"spec/AR {per_spec:.3f} (verify rounds {rounds})")
 print(f"ceiling PER (gold mels):            ctc {per_gold_ctc:.3f}  "
       f"spec/AR {per_gold_spec:.3f}")
+print(f"stage isolation: NAR mels direct {per_nar_direct:.3f}  "
+      f"vocoded gold mels {per_voc_gold:.3f}")
 
 result = {"bs": A.bs, "utt_per_s": round(utt_s, 1),
           "tts_s_median": round(sec, 3),
@@ -164,5 +183,7 @@ result = {"bs": A.bs, "utt_per_s": round(utt_s, 1),
           "per_roundtrip_spec": round(per_spec, 4),
           "per_gold_ctc": round(per_gold_ctc, 4),
           "per_gold_spec": round(per_gold_spec, 4),
+          "per_nar_direct": round(per_nar_direct, 4),
+          "per_vocoded_gold": round(per_voc_gold, 4),
           "teacher_per_at_save": t_per}
 print("RESULT", json.dumps(result))
