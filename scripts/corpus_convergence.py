@@ -43,6 +43,13 @@ ap.add_argument("--s_eos_weight", type=float, default=16.0,
                      "under-firing (stop-len MAE 44 frames) vs 12.5 at 16 "
                      "— the corpus-scale teacher overshot lengths ~40% "
                      "at 5")
+ap.add_argument("--ga_weight", type=float, default=0.0,
+                help="guided-attention loss weight on the teacher-forced "
+                     "TTS cross-attention. 0 reproduces the earlier corpus "
+                     "teachers, whose cross-attention is measured DIFFUSE "
+                     "(frame-assignment acc 1.7% vs the oracle grid) — the "
+                     "AR free-running collapse; 0.3 is the curriculum "
+                     "study's value")
 ap.add_argument("--ctc_weight", type=float, default=0.5,
                 help="hybrid CTC/attention weight (>0 also equips the "
                      "teacher with the CTC head the corpus-scale NAR "
@@ -78,7 +85,7 @@ args = parse_with_config(SMALL + [
     "--d_steps", "0", "--train_batch_size", str(A.bs),
     "--sched_type", "multistep", "--lr", str(A.lr),
     "--optim_type", "adamw", "--compute_dtype", "bfloat16",
-    "--s_eos_weight", str(A.s_eos_weight),
+    "--s_eos_weight", str(A.s_eos_weight), "--ga_weight", str(A.ga_weight),
     "--ctc_weight", str(A.ctc_weight), "--fast_prng", A.fast_prng])
 from unast_tpu.train.config import apply_runtime_flags
 apply_runtime_flags(args)

@@ -100,18 +100,28 @@ def phase_b(args):
     rng = np.random.default_rng(0)
     from unast_tpu.data.dataset import synth_audio
     t0 = time.perf_counter()
-    kept = []
+    kept, dropped = [], 0
     for i, (fid, text) in enumerate(rows):
         path = os.path.join(wavs, fid + ".wav")
+        ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
+        if args.max_tokens and len(ids) > args.max_tokens:
+            # token filter: at phoneme_dur >= 0.07 the longest ~4% of
+            # transcripts would exceed the 10 s LJSpeech-shaped audio cap
+            # (truncated audio with full text corrupts ASR/TTS targets)
+            dropped += 1
+            continue
         kept.append(f"{fid}|{text}|{text}")
         if not os.path.exists(path):  # resumable
-            ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
-            wav = synth_audio(ids, 22050, rng, phoneme_dur_s=0.04,
+            wav = synth_audio(ids, 22050, rng,
+                              phoneme_dur_s=args.phoneme_dur,
                               timbre=args.timbre)
             # LJSpeech clips are <= ~10.1 s; cap synthetic audio the same
             write_wav(path, wav[: int(10.0 * 22050)])
         if (i + 1) % 1000 == 0:
             print(f"[B] synth {i + 1}/{len(rows)}", file=sys.stderr)
+    if dropped:
+        print(f"[B] token filter (> {args.max_tokens}): dropped {dropped} "
+              f"of {len(rows)}")
     with open(os.path.join(root, "metadata.csv"), "w") as f:
         f.write("\n".join(kept) + "\n")
     t_synth = time.perf_counter() - t0
@@ -201,6 +211,18 @@ if __name__ == "__main__":
                          "audio; 'formant' ids are mel-bin-separated, the "
                          "round-trip-intelligibility corpus (see "
                          "data/dataset.py::synth_audio)")
+    ap.add_argument("--phoneme_dur", type=float, default=0.04,
+                    help="seconds per phoneme tone. 0.04 (882 samples) is "
+                         "SHORTER than the 1102-sample DSP window, so no "
+                         "analysis frame lies inside one phoneme and "
+                         "regression synthesis cannot round-trip (measured: "
+                         "segment-template acc 100%% gold vs ~20%% NAR); "
+                         ">= 0.07 gives every phoneme in-window-pure frames "
+                         "-- pair with --max_tokens 142 to respect the 10 s "
+                         "audio cap")
+    ap.add_argument("--max_tokens", type=int, default=0,
+                    help="drop transcripts longer than this many phoneme "
+                         "tokens (0 = keep all)")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)

@@ -277,6 +277,38 @@ def test_ctc_forced_align_clean_segments():
     assert dur.sum() == t
 
 
+def test_ctc_forced_align_blank_split():
+    """blank_split=True divides interior blank runs between the tokens
+    they separate; leading/trailing runs keep their single neighbor, and
+    rows still sum to the frame count."""
+    B = C.BLANK_ID
+    # lead 2 blanks | 5 x3 | 4 blanks | 7 x2 | 1 blank | 9 x3 | trail 2
+    seq = ([B] * 2 + [5] * 3 + [B] * 4 + [7] * 2 + [B] * 1 + [9] * 3
+           + [B] * 2)
+    t = len(seq)
+    logits = np.full((1, t, VOCAB_SIZE + 1), -15.0, np.float32)
+    for i, k in enumerate(seq):
+        logits[0, i, k] = 15.0
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = jnp.asarray([[5, 7, 9]], jnp.int32)
+    lens = jnp.asarray([3])
+    fv = jnp.ones((1, t), bool)
+    base = np.asarray(C.ctc_forced_align(lp, fv, labels, lens))[0]
+    # all-to-preceding: lead+run1 -> 5, run2 + trail -> their predecessors
+    np.testing.assert_array_equal(base, [2 + 3 + 4, 2 + 1, 3 + 2])
+    split = np.asarray(C.ctc_forced_align(lp, fv, labels, lens,
+                                          blank_split=True))[0]
+    # interior 4-run splits 2/2; single interior blank stays w/ preceding;
+    # leading -> first token, trailing -> last token
+    np.testing.assert_array_equal(split, [2 + 3 + 2, 2 + 2 + 1, 3 + 2])
+    assert split.sum() == t
+    # ragged tail: pad frames must not leak into the last token
+    fv2 = jnp.asarray(np.arange(t)[None, :] < (t - 2))
+    split2 = np.asarray(C.ctc_forced_align(lp, fv2, labels, lens,
+                                           blank_split=True))[0]
+    assert split2.sum() == t - 2
+
+
 def test_synthesizer_spec_asr_matches_ar_greedy():
     """asr_ids(spec=True) = the AR model's greedy transcript, reached by
     CTC-drafted speculative verification — must equal the pure-AR path's

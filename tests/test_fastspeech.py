@@ -474,3 +474,37 @@ def test_distill_step_mas_source_trains():
         assert np.isfinite(float(m["nar/pre"])), m
         last = float(m["nar/dur"])
     assert np.isfinite(last)
+
+
+def test_distill_step_ctc_source_trains():
+    """make_distill_step with --nar_dur_source ctc (teacher equipped with
+    the hybrid CTC head) runs jitted for both blank-split settings; the
+    forced-alignment durations it regresses sum to mel_len per row."""
+    import dataclasses
+    import __graft_entry__ as g
+    from unast_tpu.models import unast as U
+    from unast_tpu.train.fastspeech import init_fs_state, make_distill_step
+
+    args, cfg = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 1e-3
+    args.nar_dur_source = "ctc"
+    cfg = dataclasses.replace(cfg, ctc_weight=0.5)
+    t_params, t_state = U.unast_init(jax.random.PRNGKey(0), cfg)
+    b, tt, tm = 2, 8, 24
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(5, 40, (b, tt)), jnp.int32),
+        "text_len": jnp.array([8, 6]),
+        "mel": jnp.asarray(rng.random((b, tm, cfg.num_mels)), jnp.float32),
+        "mel_len": jnp.array([24, 17]),
+    }
+    for blank_split in (1, 0):
+        args.nar_ctc_blank_split = blank_split
+        fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+        step = jax.jit(make_distill_step(cfg, cfg, args),
+                       donate_argnums=(0,))
+        for i in range(2):
+            fs, m = step(fs, t_params, t_state, jax.random.PRNGKey(i),
+                         batch)
+            assert np.isfinite(float(m["nar/pre"])), m
+            assert np.isfinite(float(m["nar/dur"])), m

@@ -126,7 +126,8 @@ def ctc_prefix_beam_search(log_probs: "np.ndarray", n_frames: int,
     return list(best)
 
 
-def ctc_forced_align(log_probs, frame_valid, labels, label_lens):
+def ctc_forced_align(log_probs, frame_valid, labels, label_lens,
+                     blank_split: bool = False):
     """Viterbi forced alignment over the standard CTC graph (the
     MFA-style duration source for the FastSpeech NAR family — VERDICT r2
     #1; models/fastspeech.py consumes the result via `durations=`).
@@ -138,9 +139,15 @@ def ctc_forced_align(log_probs, frame_valid, labels, label_lens):
     the standard stay/advance/skip transitions) and counts frames per
     token — blank-run frames are attributed to the PRECEDING token
     (leading blanks to token 0), so rows sum exactly to the frame count.
-    Static-shape lax.scan DP (one forward pass storing transition
-    choices, one backward pass recovering the path), runs in-graph inside
-    the jitted distillation step. Returns int32 [B, U]."""
+    `blank_split=True` instead splits each INTERIOR blank run half/half
+    between the tokens it separates (leading/trailing runs keep their
+    only neighbor) — measured against the synthetic corpus's oracle
+    phoneme grid this halves the boundary error the all-to-preceding
+    rule leaves (CTC emits label spikes; the blanks around a boundary
+    carry both neighbors' frames). Static-shape lax.scan DP (one forward
+    pass storing transition choices, one backward pass recovering the
+    path), runs in-graph inside the jitted distillation step. Returns
+    int32 [B, U]."""
     b, t, _ = log_probs.shape
     u = labels.shape[1]
     s_dim = 2 * u + 1
@@ -197,20 +204,36 @@ def ctc_forced_align(log_probs, frame_valid, labels, label_lens):
     j0 = jnp.where(qb >= ql, e_blank, e_label).astype(jnp.int32)
 
     def bwd(j, inputs):
-        d_t, valid_t = inputs  # [B, S], [B]
-        count_row = jax.nn.one_hot(tok_of_state[j], u, dtype=jnp.int32) * \
-            valid_t[:, None].astype(jnp.int32)
+        d_t, _valid_t = inputs  # [B, S], [B]
         step = jnp.take_along_axis(d_t, j[:, None], axis=1)[:, 0]
-        return j - step.astype(jnp.int32), count_row
+        return j - step.astype(jnp.int32), j
 
-    j_first, counts = jax.lax.scan(
+    j_first, js = jax.lax.scan(
         bwd, j0, (deltas[::-1],
                   jnp.swapaxes(frame_valid, 0, 1)[1:][::-1]))
-    dur = jnp.sum(counts, axis=0)
-    # frame 0 sits in state 0 (lead blank) or 1 (first label): token 0
-    dur = dur + jax.nn.one_hot(jnp.zeros((b,), jnp.int32), u,
-                               dtype=jnp.int32) * \
-        frame_valid[:, 0][:, None].astype(jnp.int32)
+    # per-frame Viterbi state [B, T] (frame 0 = lead blank or first label)
+    states = jnp.concatenate(
+        [j_first[:, None], jnp.swapaxes(js[::-1], 0, 1)], axis=1)
+    prec = tok_of_state[states]          # preceding token (blank 2k -> k-1)
+    if blank_split:
+        isb = (states % 2) == 0
+        fol = jnp.clip(states // 2, 0, u - 1)  # following token (2k -> k)
+        fidx = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+        lab_here = (~isb) & frame_valid
+        # nearest label frame at/before f (running max) and at/after f
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(lab_here, fidx, -1), axis=1) + 1
+        nxt = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(lab_here, fidx, t), axis=1, reverse=True)
+        # interior run: a label exists on both sides within valid frames
+        interior = (nxt < t) & (run_start > 0)
+        second = (fidx - run_start) * 2 >= (nxt - run_start)
+        tok = jnp.where(isb & interior & second, fol, prec)
+    else:
+        tok = prec
+    dur = jnp.sum(
+        jax.nn.one_hot(tok, u, dtype=jnp.int32)
+        * frame_valid[:, :, None].astype(jnp.int32), axis=1)
     return dur * M.lens_to_mask(label_lens, u).astype(jnp.int32)
 
 

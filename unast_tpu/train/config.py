@@ -240,6 +240,14 @@ def build_parser() -> argparse.ArgumentParser:
              "teacher's hybrid CTC head (ctc — needs a teacher trained "
              "with --ctc_weight > 0; the generalization-safe source per "
              "the BENCHMARKS.md held-out ladder)")
+    add("--nar_ctc_blank_split", type=int, default=1,
+        help="with --nar_dur_source ctc: split interior blank runs "
+             "half/half between the tokens they separate instead of "
+             "attributing them all to the preceding token. Measured on "
+             "the synthetic corpus's oracle phoneme grid: frame-"
+             "assignment acc 0.80 -> 0.90, |boundary err| 1.15 -> 0.84 "
+             "frames (models/ctc.py::ctc_forced_align). 0 = the "
+             "all-to-preceding rule")
     add("--nar_steps", type=int, default=2000,
         help="FastSpeech distillation steps (train/fastspeech.py CLI)")
     add("--nar_dur_weight", type=float, default=1.0,

@@ -81,8 +81,10 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
                 teacher_cfg, mel, mel_len)
             logits = nn.linear(t_params["speech_m"]["ctc_head"],
                                mem).astype(jnp.float32)
-            dur = CT.ctc_forced_align(jax.nn.log_softmax(logits, axis=-1),
-                                      ~pad, text, text_len)
+            dur = CT.ctc_forced_align(
+                jax.nn.log_softmax(logits, axis=-1), ~pad, text, text_len,
+                blank_split=bool(
+                    getattr(args, "nar_ctc_blank_split", 1)))
         else:
             ws = []
             U.tts(t_params, t_state, nn.Ctx.eval(), teacher_cfg, text,
