@@ -100,7 +100,7 @@ def phase_b(args):
     rng = np.random.default_rng(0)
     from unast_tpu.data.dataset import synth_audio
     t0 = time.perf_counter()
-    kept, dropped = [], 0
+    kept, dropped, oracle_durs = [], 0, {}
     for i, (fid, text) in enumerate(rows):
         path = os.path.join(wavs, fid + ".wav")
         ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
@@ -112,9 +112,12 @@ def phase_b(args):
             continue
         kept.append(f"{fid}|{text}|{text}")
         if not os.path.exists(path):  # resumable
-            wav = synth_audio(ids, 22050, rng,
-                              phoneme_dur_s=args.phoneme_dur,
-                              timbre=args.timbre)
+            wav, durs = synth_audio(ids, 22050, rng,
+                                    phoneme_dur_s=args.phoneme_dur,
+                                    timbre=args.timbre,
+                                    dur_jitter=args.dur_jitter,
+                                    return_durs=True)
+            oracle_durs[fid] = durs.astype(np.int32)
             # LJSpeech clips are <= ~10.1 s; cap synthetic audio the same
             write_wav(path, wav[: int(10.0 * 22050)])
         if (i + 1) % 1000 == 0:
@@ -124,6 +127,11 @@ def phase_b(args):
               f"of {len(rows)}")
     with open(os.path.join(root, "metadata.csv"), "w") as f:
         f.write("\n".join(kept) + "\n")
+    if oracle_durs:
+        # per-phoneme sample counts — the alignment oracle for
+        # scripts/align_probe.py (only for freshly synthesized clips;
+        # resumed runs that skip existing wavs keep the old sidecar)
+        np.savez(os.path.join(root, "oracle_durs.npz"), **oracle_durs)
     t_synth = time.perf_counter() - t0
     print(f"[B] audio synthesis: {len(rows)} clips in {t_synth:.0f}s")
 
@@ -223,6 +231,14 @@ if __name__ == "__main__":
     ap.add_argument("--max_tokens", type=int, default=0,
                     help="drop transcripts longer than this many phoneme "
                          "tokens (0 = keep all)")
+    ap.add_argument("--dur_jitter", type=float, default=0.0,
+                    help="per-phoneme duration jitter: each tone's length "
+                         "is uniform in [1-j, 1+j] * phoneme_dur. 0 = the "
+                         "historical constant-duration corpus, on which "
+                         "NAR duration modeling is TRIVIAL (a uniform "
+                         "predictor matches the oracle grid exactly); "
+                         "> 0 makes the duration task non-degenerate and "
+                         "writes the oracle_durs.npz sidecar")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)

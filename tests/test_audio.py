@@ -260,3 +260,30 @@ def test_formant_timbre_mel_separability():
         noisy = np.convolve(noisy, [0.25, 0.5, 0.25], mode="same")
         errs += int(np.argmin(((tpl - noisy) ** 2).sum(1)) != p)
     assert errs == 0, errs
+
+
+def test_synth_audio_dur_jitter():
+    """dur_jitter: per-phoneme lengths vary within [1-j, 1+j]*base, the
+    returned durations tile the waveform exactly, and dur_jitter=0
+    reproduces the historical constant-duration corpus bit-exactly."""
+    from unast_tpu.data.dataset import synth_audio
+
+    ids = np.asarray([3, 17, 30, 5, 44, 9], np.int32)
+    base = int(0.05 * 22050)
+    wav, durs = synth_audio(ids, 22050, np.random.default_rng(1),
+                            phoneme_dur_s=0.05, timbre="formant",
+                            dur_jitter=0.4, return_durs=True)
+    assert len(durs) == len(ids)
+    assert wav.shape[0] == durs.sum()
+    assert durs.min() >= int(base * 0.6) - 1
+    assert durs.max() <= int(base * 1.4) + 1
+    assert durs.std() > 0  # actually jittered
+    # dur_jitter=0 consumes no extra rng draws: byte-identical to the
+    # historical two-arg call
+    a = synth_audio(ids, 22050, np.random.default_rng(2),
+                    phoneme_dur_s=0.05, timbre="formant")
+    b, d0 = synth_audio(ids, 22050, np.random.default_rng(2),
+                        phoneme_dur_s=0.05, timbre="formant",
+                        dur_jitter=0.0, return_durs=True)
+    np.testing.assert_array_equal(a, b)
+    assert (d0 == base).all()

@@ -105,7 +105,8 @@ _FORMANT_F2 = (3600.0, 4400.0, 5200.0, 6000.0, 6800.0, 7600.0, 8400.0)
 def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
                 phoneme_dur_s: float = 0.08,
                 f0_scale: float = 1.0, gain: float = 1.0,
-                timbre: str = "harmonic") -> np.ndarray:
+                timbre: str = "harmonic", dur_jitter: float = 0.0,
+                return_durs: bool = False) -> np.ndarray:
     """Each phoneme id becomes a short tone whose spectrum is a
     deterministic function of the id — audio correlates with the text, so
     ASR/TTS training on this corpus is learnable in principle. `f0_scale`
@@ -120,11 +121,24 @@ def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
     id pair is multiple mel bins apart, so round-trip intelligibility
     (synthesize -> DSP -> ASR) is achievable, not just gold-mel ASR.
     f0_scale is identity-preserving here: it scales an added low buzz
-    (120 Hz) rather than the formants."""
-    n = max(1, int(phoneme_dur_s * sr))
-    t = np.arange(n) / sr
+    (120 Hz) rather than the formants.
+
+    `dur_jitter` > 0 draws each phoneme's length uniformly in
+    [1-j, 1+j] * phoneme_dur_s — WITHOUT it every phoneme is the same
+    length, so NAR duration modeling on this corpus is trivially solved
+    by a uniform predictor (the oracle grid IS uniform); jitter makes
+    the duration task non-degenerate. `return_durs=True` additionally
+    returns the per-phoneme sample counts (the alignment oracle for
+    scripts/align_probe.py)."""
+    base = max(1, int(phoneme_dur_s * sr))
+    if dur_jitter > 0:
+        fac = 1.0 + dur_jitter * (2.0 * rng.random(len(ids)) - 1.0)
+        lens = np.maximum(1, (base * fac).astype(np.int64))
+    else:
+        lens = np.full(len(ids), base, np.int64)
     segs = []
-    for pid in ids:
+    for pid, n in zip(ids, lens):
+        t = np.arange(n) / sr
         if timbre == "formant":
             f1 = _FORMANT_F1[int(pid) % 7]
             f2 = _FORMANT_F2[(int(pid) // 7) % 7]
@@ -139,9 +153,10 @@ def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
                    + 0.02 * rng.standard_normal(n))
         env = np.hanning(n)
         segs.append(seg * env)
-    wav = np.concatenate(segs) if segs else np.zeros(n)
-    return (0.5 * gain * wav
-            / max(1e-6, np.max(np.abs(wav)))).astype(np.float32)
+    wav = np.concatenate(segs) if segs else np.zeros(base)
+    wav = (0.5 * gain * wav
+           / max(1e-6, np.max(np.abs(wav)))).astype(np.float32)
+    return (wav, lens) if return_durs else wav
 
 
 class SyntheticSpeechDataset:
