@@ -263,21 +263,28 @@ def test_formant_timbre_mel_separability():
 
 
 def test_synth_audio_dur_jitter():
-    """dur_jitter: per-phoneme lengths vary within [1-j, 1+j]*base, the
-    returned durations tile the waveform exactly, and dur_jitter=0
-    reproduces the historical constant-duration corpus bit-exactly."""
-    from unast_tpu.data.dataset import synth_audio
+    """dur_jitter: per-phoneme lengths follow the intrinsic id factor
+    (learnable) times bounded noise, the returned durations tile the
+    waveform exactly, and dur_jitter=0 reproduces the historical
+    constant-duration corpus bit-exactly."""
+    from unast_tpu.data.dataset import _DUR_FACTOR, synth_audio
 
-    ids = np.asarray([3, 17, 30, 5, 44, 9], np.int32)
+    ids = np.asarray([3, 17, 30, 5, 44, 9, 3, 3], np.int32)
     base = int(0.05 * 22050)
     wav, durs = synth_audio(ids, 22050, np.random.default_rng(1),
                             phoneme_dur_s=0.05, timbre="formant",
-                            dur_jitter=0.4, return_durs=True)
+                            dur_jitter=0.2, return_durs=True)
     assert len(durs) == len(ids)
     assert wav.shape[0] == durs.sum()
-    assert durs.min() >= int(base * 0.6) - 1
-    assert durs.max() <= int(base * 1.4) + 1
-    assert durs.std() > 0  # actually jittered
+    # each length within its id's intrinsic factor ± noise
+    fac = _DUR_FACTOR[ids]
+    assert (durs >= (base * fac * 0.8 - 1)).all()
+    assert (durs <= (base * fac * 1.2 + 1)).all()
+    # the identity part dominates: repeated id 3 varies by < ±20%,
+    # while id 44 vs id 3 differ by their factor ratio
+    d3 = durs[ids == 3]
+    assert d3.max() / d3.min() < 1.5
+    assert durs.std() > 0
     # dur_jitter=0 consumes no extra rng draws: byte-identical to the
     # historical two-arg call
     a = synth_audio(ids, 22050, np.random.default_rng(2),

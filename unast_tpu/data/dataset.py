@@ -101,6 +101,12 @@ def synth_sentence(rng: np.random.Generator, n_words: Tuple[int, int]):
 _FORMANT_F1 = (400.0, 800.0, 1200.0, 1600.0, 2000.0, 2400.0, 3000.0)
 _FORMANT_F2 = (3600.0, 4400.0, 5200.0, 6000.0, 6800.0, 7600.0, 8400.0)
 
+# Intrinsic per-identity duration factors for synth_audio(dur_jitter>0):
+# a fixed 0.6-1.5 spread scattered over ids by a coprime stride (so
+# adjacent ids differ). Deterministic — the duration PREDICTOR's
+# learnable signal; see synth_audio's docstring.
+_DUR_FACTOR = 0.6 + 0.9 * ((np.arange(46) * 19) % 46) / 45.0
+
 
 def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
                 phoneme_dur_s: float = 0.08,
@@ -123,16 +129,22 @@ def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
     f0_scale is identity-preserving here: it scales an added low buzz
     (120 Hz) rather than the formants.
 
-    `dur_jitter` > 0 draws each phoneme's length uniformly in
-    [1-j, 1+j] * phoneme_dur_s — WITHOUT it every phoneme is the same
-    length, so NAR duration modeling on this corpus is trivially solved
-    by a uniform predictor (the oracle grid IS uniform); jitter makes
-    the duration task non-degenerate. `return_durs=True` additionally
-    returns the per-phoneme sample counts (the alignment oracle for
-    scripts/align_probe.py)."""
+    `dur_jitter` > 0 makes each phoneme's length
+    _DUR_FACTOR[pid] * (1 + U(-j, j)) * phoneme_dur_s: an INTRINSIC
+    per-identity factor (fixed 0.6–1.5 spread, like real phone classes
+    — vowels long, stops short) plus unpredictable noise. Without it
+    every phoneme is the same length, so NAR duration modeling on this
+    corpus is trivially solved by a uniform predictor (the oracle grid
+    IS uniform); with it the identity part is what a duration predictor
+    must LEARN (held-out texts carry different id sequences) while the
+    noise part bounds achievable accuracy — and the forced aligner must
+    track genuinely non-uniform boundaries. `return_durs=True`
+    additionally returns the per-phoneme sample counts (the alignment
+    oracle for scripts/align_probe.py)."""
     base = max(1, int(phoneme_dur_s * sr))
     if dur_jitter > 0:
-        fac = 1.0 + dur_jitter * (2.0 * rng.random(len(ids)) - 1.0)
+        fac = _DUR_FACTOR[np.asarray(ids, np.int64) % len(_DUR_FACTOR)] \
+            * (1.0 + dur_jitter * (2.0 * rng.random(len(ids)) - 1.0))
         lens = np.maximum(1, (base * fac).astype(np.int64))
     else:
         lens = np.full(len(ids), base, np.int64)
