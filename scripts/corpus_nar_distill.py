@@ -44,6 +44,12 @@ ap.add_argument("--small", action="store_true",
 ap.add_argument("--save_path", default="",
                 help="pickle the distilled (params, net_state) — the "
                      "Synthesizer(nar_pv=...) serving artifact")
+ap.add_argument("--oracle_durs", default="",
+                help="oracle_durs.npz sidecar (corpus_rehearsal "
+                     "--dur_jitter): also score the trained duration "
+                     "PREDICTOR per token on held-out text against the "
+                     "true durations, vs the best-constant baseline and "
+                     "the per-id noise floor")
 A = ap.parse_args()
 
 from unast_tpu.train.config import (apply_runtime_flags,
@@ -105,6 +111,53 @@ def held_eval(fs, n_batches=2):
             float(np.median(ratios)), float(np.mean(ratios)))
 
 
+def dur_quality(fs, n_utts=256):
+    """Held-out per-token duration-prediction quality vs the oracle
+    sidecar. Returns MAE (frames) for the trained predictor, the
+    best-constant baseline (what a 'predict the mean' model achieves —
+    the TRIVIAL score on a constant-duration corpus), and the per-id
+    floor (the jitter noise no text-conditioned predictor can beat)."""
+    from unast_tpu.models import fastspeech as F
+    from unast_tpu import nn as unn
+    meta = os.path.join(os.path.dirname(A.shard), "metadata.csv")
+    fids = [l.split("|")[0] for l in open(meta) if l.strip()]
+    durs_npz = np.load(A.oracle_durs)
+    n_utts = min(n_utts, A.heldout, len(full))
+    idx = np.arange(len(full) - n_utts, len(full))
+    b = full.collate_batch(idx, int(CAPS[1]), int(CAPS[0]))
+
+    @jax.jit
+    def pred_durs(params, net_state, text, text_len):
+        (_, _, _, log_dur), _ = F.fastspeech_forward(
+            params, net_state, unn.Ctx.eval(), cfg, text, text_len,
+            max_len=int(CAPS[0]))
+        return jnp.round(jnp.expm1(log_dur)).astype(jnp.int32)
+
+    pd = np.asarray(pred_durs(fs.params, fs.net_state,
+                              jnp.asarray(b["text"]),
+                              jnp.asarray(b["text_len"])))
+    hop = 275.0
+    pred_err, ids_all, orc_all = [], [], []
+    for j, i in enumerate(idx):
+        u = int(b["text_len"][j])
+        orc = durs_npz[fids[i]].astype(np.float64)[:u] / hop
+        pred_err.append(np.abs(pd[j, :u] - orc))
+        ids_all.append(np.asarray(b["text"][j, :u]))
+        orc_all.append(orc)
+    pred_err = np.concatenate(pred_err)
+    ids_all = np.concatenate(ids_all)
+    orc_all = np.concatenate(orc_all)
+    const = np.abs(orc_all - orc_all.mean()).mean()
+    floor = float(np.mean([np.abs(orc_all[ids_all == k]
+                                  - orc_all[ids_all == k].mean()).mean()
+                           for k in np.unique(ids_all)
+                           if (ids_all == k).sum() > 3]))
+    return {"dur_mae_frames": round(float(pred_err.mean()), 3),
+            "dur_mae_const_baseline": round(float(const), 3),
+            "dur_mae_per_id_floor": round(floor, 3),
+            "mean_dur_frames": round(float(orc_all.mean()), 2)}
+
+
 t0 = time.perf_counter()
 hist = []
 for i in range(A.steps):
@@ -141,4 +194,7 @@ result = {"steps": A.steps, "dur_source": A.dur_source,
           "len_ratio_mean": round(mean_r, 4),
           "pct_within_10pct": round(within10 * 100, 1),
           "history": hist}
+if A.oracle_durs:
+    result["dur_quality"] = dur_quality(fs)
+    print("duration predictor:", json.dumps(result["dur_quality"]))
 print("RESULT", json.dumps(result))
