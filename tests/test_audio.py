@@ -294,3 +294,25 @@ def test_synth_audio_dur_jitter():
                         dur_jitter=0.0, return_durs=True)
     np.testing.assert_array_equal(a, b)
     assert (d0 == base).all()
+
+
+def test_wav_to_mel_mag_batch_matches_scalar():
+    """The batched offline-preprocessor path (one shared bucket, vmapped
+    core) equals the per-clip wav_to_mel_mag over each clip's valid
+    frames, across mixed lengths and both trim settings."""
+    from unast_tpu.audio import dsp
+
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.3
+            for n in (5000, 22050, 61003, 9000)]
+    for trim in (False, True):
+        mel_b, mag_b, nf = dsp.wav_to_mel_mag_batch(wavs, trim=trim)
+        mel_b = np.asarray(mel_b)
+        mag_b = np.asarray(mag_b)
+        for i, y in enumerate(wavs):
+            mel, mag, n = dsp.wav_to_mel_mag(y, trim=trim)
+            assert nf[i] == n
+            np.testing.assert_allclose(mel_b[i, :n], np.asarray(mel[:n]),
+                                       atol=2e-6)
+            np.testing.assert_allclose(mag_b[i, :n], np.asarray(mag[:n]),
+                                       atol=2e-6)

@@ -178,6 +178,35 @@ def wav_to_mel_mag(y: np.ndarray, p: AudioParams = DEFAULT, trim: bool = True):
     padded to the bucket's frame count plus the valid frame count.
     Parity: reference get_spectrograms (src/utils.py:235-278).
     """
+    # Host side: trim + O(n) preemphasis + reflect center padding on the
+    # TRUE signal end (bucketing after reflect keeps the last valid
+    # frames identical to the unbucketed result), then zero-pad to the
+    # bucket.
+    y_refl, n_frames_valid, n = _host_prep(np.asarray(y), p, trim)
+    bucket = next(
+        (int(b * p.sr) for b in _LENGTH_BUCKETS_S if n <= b * p.sr),
+        ((n + p.sr - 1) // p.sr) * p.sr if n > 0 else p.sr,
+    )
+    half = p.n_fft // 2
+    y_pad = np.zeros(bucket + 2 * half, dtype=np.float32)
+    y_pad[: len(y_refl)] = y_refl
+    mel, mag = _wav_to_mel_mag_core(jnp.asarray(y_pad), p)
+    return mel, mag, n_frames_valid
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _wav_to_mel_mag_core_batch(y_padded: jnp.ndarray, p: AudioParams):
+    """[B, n] batch of preemphasized + center-padded signals -> one
+    vmapped framing->DFT->mel pass (the offline preprocessor's batched
+    fast path — per-clip dispatch through the device tunnel costs more
+    than the DSP itself; see data/prepare.py --batch)."""
+    return jax.vmap(lambda y: _wav_to_mel_mag_core(y, p))(y_padded)
+
+
+def _host_prep(y: np.ndarray, p: AudioParams, trim: bool):
+    """Per-clip host side of wav_to_mel_mag (trim + preemphasis + reflect
+    center pad), shared by the scalar and batched entry points. Returns
+    (y_refl, n_frames_valid, n_samples)."""
     if trim:
         try:
             from .. import native
@@ -187,24 +216,35 @@ def wav_to_mel_mag(y: np.ndarray, p: AudioParams = DEFAULT, trim: bool = True):
         except Exception:
             y, _ = ref_dsp.trim_silence(np.asarray(y, dtype=np.float32), p)
     n = len(y)
-    n_frames_valid = 1 + n // p.hop_length if n > 0 else 0
-    bucket = next(
-        (int(b * p.sr) for b in _LENGTH_BUCKETS_S if n <= b * p.sr),
-        ((n + p.sr - 1) // p.sr) * p.sr if n > 0 else p.sr,
-    )
-    # Host side: O(n) preemphasis + reflect center padding on the TRUE
-    # signal end (bucketing after reflect keeps the last valid frames
-    # identical to the unbucketed result), then zero-pad to the bucket.
     half = p.n_fft // 2
     if n > 0:
         y_pre = ref_dsp.preemphasis(y.astype(np.float32), p.preemphasis)
         y_refl = np.pad(y_pre, half, mode="reflect")
     else:
         y_refl = np.zeros(2 * half, dtype=np.float32)
-    y_pad = np.zeros(bucket + 2 * half, dtype=np.float32)
-    y_pad[: len(y_refl)] = y_refl
-    mel, mag = _wav_to_mel_mag_core(jnp.asarray(y_pad), p)
-    return mel, mag, n_frames_valid
+    return y_refl, (1 + n // p.hop_length if n > 0 else 0), n
+
+
+def wav_to_mel_mag_batch(wavs, p: AudioParams = DEFAULT, trim: bool = True):
+    """Batched wav -> (mel [B, T, n_mels], mag [B, T, n_freqs], n_frames
+    [B]) — one shared length bucket (max clip in the batch), one vmapped
+    core dispatch. Each row equals wav_to_mel_mag on that clip over its
+    valid frames (zero padding past the reflect pad is exact — same
+    argument as the scalar bucketing; tested). mel/mag are returned as
+    DEVICE arrays so callers that don't need mag never pay its
+    device->host transfer."""
+    half = p.n_fft // 2
+    prepped = [_host_prep(np.asarray(y), p, trim) for y in wavs]
+    n_max = max(pp[2] for pp in prepped)
+    bucket = next(
+        (int(b * p.sr) for b in _LENGTH_BUCKETS_S if n_max <= b * p.sr),
+        ((n_max + p.sr - 1) // p.sr) * p.sr if n_max > 0 else p.sr,
+    )
+    y_pad = np.zeros((len(prepped), bucket + 2 * half), dtype=np.float32)
+    for i, (y_refl, _, _) in enumerate(prepped):
+        y_pad[i, : len(y_refl)] = y_refl
+    mel, mag = _wav_to_mel_mag_core_batch(jnp.asarray(y_pad), p)
+    return mel, mag, np.asarray([pp[1] for pp in prepped], np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("p",))

@@ -51,7 +51,9 @@ def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool,
         from ..audio import dsp
         mel, mag, n_frames = dsp.wav_to_mel_mag(wav)
         mel = np.asarray(mel[:n_frames], np.float32)
-        mag = np.asarray(mag[:n_frames], np.float32)
+        # only fetch mag over the device tunnel when it will be written
+        # (the [T, 1025] f32 transfer is ~13x the mel's)
+        mag = np.asarray(mag[:n_frames], np.float32) if with_mag else None
     else:
         mel, mag = ref_dsp.wav_to_mel_mag(wav)
     np.save(os.path.join(cache_dir, fid + ".mel.npy"), mel)
@@ -60,15 +62,18 @@ def process_clip(wav_path: str, cache_dir: str, fid: str, use_jax: bool,
         # training; --no_mag skips them for model-training-only caches
         np.save(os.path.join(cache_dir, fid + ".mag.npy"), mag)
     if with_f0:
-        # frame F0 aligned to the TRIMMED analysis the DSP performs: the
-        # mel comes from the trimmed wav, so extract F0 over the same span
-        from ..audio.pitch import extract_f0
-        from ..audio.params import DEFAULT as P
-        y, _ = ref_dsp.trim_silence(wav, P)
-        f0 = extract_f0(y, P.sr, P.hop_length)[: mel.shape[0]]
-        np.save(os.path.join(cache_dir, fid + ".f0.npy"),
-                f0.astype(np.float32))
+        _save_f0(wav, mel.shape[0], cache_dir, fid)
     return mel.shape[0]
+
+
+def _save_f0(wav: np.ndarray, n_frames: int, cache_dir: str, fid: str):
+    # frame F0 aligned to the TRIMMED analysis the DSP performs: the
+    # mel comes from the trimmed wav, so extract F0 over the same span
+    from ..audio.pitch import extract_f0
+    from ..audio.params import DEFAULT as P
+    y, _ = ref_dsp.trim_silence(wav, P)
+    f0 = extract_f0(y, P.sr, P.hop_length)[:n_frames]
+    np.save(os.path.join(cache_dir, fid + ".f0.npy"), f0.astype(np.float32))
 
 
 def main(argv=None):
@@ -79,6 +84,11 @@ def main(argv=None):
                     help="numpy reference DSP instead of the jitted path")
     ap.add_argument("--workers", type=int, default=0,
                     help="process pool size for the --cpu path")
+    ap.add_argument("--batch", type=int, default=32,
+                    help="clips per vmapped device DSP call (device path "
+                         "only; 1 = the per-clip legacy path). Per-clip "
+                         "dispatch is tunnel-latency-bound — batching is "
+                         "~20x end-to-end")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--shard_out", type=str, default=None,
                     help="also pack the cached corpus into ONE mmap-able "
@@ -112,14 +122,44 @@ def main(argv=None):
         print(f"[prepare] done: {len(rows)} clips, {sum(frames)} frames")
         return
     total = 0
-    for i, (fid, _) in enumerate(rows):
-        wav_path = os.path.join(args.data_path, "wavs", fid + ".wav")
-        total += process_clip(wav_path, args.cache_dir, fid,
-                              use_jax=not args.cpu, with_f0=args.f0,
-                              with_mag=not args.no_mag)
-        if (i + 1) % 500 == 0:
-            print(f"[prepare] {i + 1}/{len(rows)} clips, {total} frames",
-                  file=sys.stderr)
+    if not args.cpu and args.batch > 1:
+        # Batched device path: per-clip dispatch through the device
+        # tunnel (latency floor + per-call fetch) costs far more than
+        # the DSP itself — one vmapped call per --batch clips measured
+        # ~20x the per-clip path's end-to-end throughput.
+        from ..audio import dsp
+        done = 0
+        for c0 in range(0, len(rows), args.batch):
+            chunk = rows[c0:c0 + args.batch]
+            wavs = [read_wav(os.path.join(args.data_path, "wavs",
+                                          fid + ".wav"))
+                    for fid, _ in chunk]
+            mel_d, mag_d, nf = dsp.wav_to_mel_mag_batch(wavs)
+            mels = np.asarray(mel_d, np.float32)
+            mags = None if args.no_mag else np.asarray(mag_d, np.float32)
+            for j, (fid, _) in enumerate(chunk):
+                n = int(nf[j])
+                np.save(os.path.join(args.cache_dir, fid + ".mel.npy"),
+                        mels[j, :n])
+                if mags is not None:
+                    np.save(os.path.join(args.cache_dir, fid + ".mag.npy"),
+                            mags[j, :n])
+                if args.f0:
+                    _save_f0(wavs[j], n, args.cache_dir, fid)
+                total += n
+            done += len(chunk)
+            if done % 512 < args.batch and done < len(rows):
+                print(f"[prepare] {done}/{len(rows)} clips, {total} "
+                      f"frames", file=sys.stderr)
+    else:
+        for i, (fid, _) in enumerate(rows):
+            wav_path = os.path.join(args.data_path, "wavs", fid + ".wav")
+            total += process_clip(wav_path, args.cache_dir, fid,
+                                  use_jax=not args.cpu, with_f0=args.f0,
+                                  with_mag=not args.no_mag)
+            if (i + 1) % 500 == 0:
+                print(f"[prepare] {i + 1}/{len(rows)} clips, {total} "
+                      f"frames", file=sys.stderr)
     print(f"[prepare] done: {len(rows)} clips, {total} frames")
     if args.shard_out:
         _write_shard_from_cache(rows, args.cache_dir, args.shard_out)
