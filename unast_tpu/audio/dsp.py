@@ -225,21 +225,32 @@ def _host_prep(y: np.ndarray, p: AudioParams, trim: bool):
     return y_refl, (1 + n // p.hop_length if n > 0 else 0), n
 
 
-def wav_to_mel_mag_batch(wavs, p: AudioParams = DEFAULT, trim: bool = True):
+def wav_to_mel_mag_batch(wavs, p: AudioParams = DEFAULT, trim: bool = True,
+                         bucket_s: float = 0.0):
     """Batched wav -> (mel [B, T, n_mels], mag [B, T, n_freqs], n_frames
     [B]) — one shared length bucket (max clip in the batch), one vmapped
     core dispatch. Each row equals wav_to_mel_mag on that clip over its
     valid frames (zero padding past the reflect pad is exact — same
     argument as the scalar bucketing; tested). mel/mag are returned as
     DEVICE arrays so callers that don't need mag never pay its
-    device->host transfer."""
+    device->host transfer.
+
+    bucket_s > 0 pins ONE canonical bucket for every call (clips longer
+    than it raise): each distinct (batch, bucket) shape is a fresh XLA
+    program whose remote compile is minutes-cold on this setup — a
+    corpus run should pay exactly one (then the persistent compile
+    cache makes it free forever)."""
     half = p.n_fft // 2
     prepped = [_host_prep(np.asarray(y), p, trim) for y in wavs]
     n_max = max(pp[2] for pp in prepped)
-    bucket = next(
-        (int(b * p.sr) for b in _LENGTH_BUCKETS_S if n_max <= b * p.sr),
-        ((n_max + p.sr - 1) // p.sr) * p.sr if n_max > 0 else p.sr,
-    )
+    if bucket_s > 0:
+        assert n_max <= bucket_s * p.sr, (n_max, bucket_s)
+        bucket = int(bucket_s * p.sr)
+    else:
+        bucket = next(
+            (int(b * p.sr) for b in _LENGTH_BUCKETS_S if n_max <= b * p.sr),
+            ((n_max + p.sr - 1) // p.sr) * p.sr if n_max > 0 else p.sr,
+        )
     y_pad = np.zeros((len(prepped), bucket + 2 * half), dtype=np.float32)
     for i, (y_refl, _, _) in enumerate(prepped):
         y_pad[i, : len(y_refl)] = y_refl

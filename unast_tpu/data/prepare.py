@@ -89,6 +89,12 @@ def main(argv=None):
                          "only; 1 = the per-clip legacy path). Per-clip "
                          "dispatch is tunnel-latency-bound — batching is "
                          "~20x end-to-end")
+    ap.add_argument("--bucket_s", type=float, default=11.0,
+                    help="pin ONE sample-length bucket (seconds) for the "
+                         "batched DSP program: every distinct shape is a "
+                         "minutes-cold remote compile, so a corpus run "
+                         "should pay exactly one (persistently cached "
+                         "after). 0 = auto-bucket per batch")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--shard_out", type=str, default=None,
                     help="also pack the cached corpus into ONE mmap-able "
@@ -134,7 +140,12 @@ def main(argv=None):
             wavs = [read_wav(os.path.join(args.data_path, "wavs",
                                           fid + ".wav"))
                     for fid, _ in chunk]
-            mel_d, mag_d, nf = dsp.wav_to_mel_mag_batch(wavs)
+            # pad the final chunk to the pinned batch size — a smaller B
+            # would be a second (minutes-cold) program
+            pad_wavs = wavs + [np.zeros(1, np.float32)] * (args.batch
+                                                           - len(wavs))
+            mel_d, mag_d, nf = dsp.wav_to_mel_mag_batch(
+                pad_wavs, bucket_s=args.bucket_s)
             mels = np.asarray(mel_d, np.float32)
             mags = None if args.no_mag else np.asarray(mag_d, np.float32)
             for j, (fid, _) in enumerate(chunk):
