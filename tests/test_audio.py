@@ -316,3 +316,29 @@ def test_wav_to_mel_mag_batch_matches_scalar():
                                        atol=2e-6)
             np.testing.assert_allclose(mag_b[i, :n], np.asarray(mag[:n]),
                                        atol=2e-6)
+
+
+def test_wav_to_mel_mag_batch_pinned_bucket():
+    """bucket_s pins ONE canonical program shape: results equal the
+    auto-bucket path over valid frames, and clips longer than the pin
+    raise (a silent truncation would corrupt the corpus cache)."""
+    import pytest
+
+    from unast_tpu.audio import dsp
+
+    rng = np.random.default_rng(1)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.3
+            for n in (5000, 30000, 1)]  # incl. a final-chunk pad stub
+    mel_a, _, nf_a = dsp.wav_to_mel_mag_batch(wavs, trim=False)
+    mel_p, _, nf_p = dsp.wav_to_mel_mag_batch(wavs, trim=False,
+                                              bucket_s=2.0)
+    assert np.asarray(mel_p).shape[1] >= np.asarray(mel_a).shape[1]
+    np.testing.assert_array_equal(nf_a, nf_p)
+    for i in range(len(wavs)):
+        n = int(nf_a[i])
+        np.testing.assert_allclose(np.asarray(mel_p)[i, :n],
+                                   np.asarray(mel_a)[i, :n], atol=2e-6)
+    with pytest.raises(AssertionError):
+        dsp.wav_to_mel_mag_batch(
+            [np.zeros(int(22050 * 2.5), np.float32)], trim=False,
+            bucket_s=2.0)
