@@ -36,6 +36,28 @@ def _enable_compilation_cache():
         cache_dir = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.expanduser("~/.cache/unast_tpu_xla"))
+        if "cpu" in (_os.environ.get("JAX_PLATFORMS") or "").lower():
+            # XLA:CPU persists AOT results (host machine code) under a
+            # cache key that does NOT include the host's CPU features;
+            # loading an executable compiled on a different machine (or
+            # with different XLA tuning features) kills the process
+            # (observed: "Target machine feature +prefer-no-gather is
+            # not supported on the host machine" -> Fatal Python error:
+            # Aborted, from a cache written by an earlier round's host).
+            # Scope CPU-backend caches to a host fingerprint so reuse is
+            # same-machine only; device-backend caches (device binaries,
+            # host-independent) keep the shared directory.
+            import hashlib as _hashlib
+            import platform as _platform
+            try:
+                with open("/proc/cpuinfo") as _f:
+                    _flags = next(
+                        (l for l in _f if l.startswith("flags")), "")
+            except OSError:
+                _flags = _platform.processor()
+            _fp = _hashlib.sha256(
+                (_platform.machine() + _flags).encode()).hexdigest()[:12]
+            cache_dir = _os.path.join(cache_dir, f"cpu-{_fp}")
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
