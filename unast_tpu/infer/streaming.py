@@ -34,6 +34,7 @@ meaningful)."""
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import melgan as G
@@ -86,6 +87,87 @@ class MelganStreamer:
                 break
             emitted += take
             yield out[:take]
+
+
+class StreamingCtcAsr:
+    """Online (streaming) CTC ASR over a chunk-masked model
+    (ModelConfig.ctc_chunk > 0; models/ctc.py::ctc_stream_step).
+
+    Serving addition over the reference (whose only ASR decode consumes
+    the COMPLETE utterance, src/network.py:440-458): mel frames are fed
+    in fixed chunks as they arrive; each step runs ONE jitted encoder
+    pass over the chunk with per-layer K/V caches of the last
+    cfg.ctc_left chunks and emits the newly decoded tokens. The
+    concatenated emissions EQUAL the one-shot greedy transcript of the
+    same chunk-masked model (tested) — latency is bounded by the chunk
+    size instead of the utterance length, and state is O(left * chunk)
+    regardless of stream duration.
+
+        s = StreamingCtcAsr(params, cfg)
+        s.reset(batch_size=1)
+        for mel_chunk in feed:          # [B, <=chunk, n_mels]
+            new_ids = s.step(mel_chunk) # list of B lists of new tokens
+        transcript = s.emitted[0]
+    """
+
+    def __init__(self, params, cfg):
+        from .. import nn
+        from ..models import ctc as CT
+        assert cfg.ctc_chunk > 0 and cfg.ctc_left >= 0, (
+            "StreamingCtcAsr needs a chunk-masked model "
+            "(cfg.ctc_chunk > 0, ctc_left >= 0)")
+        self.params = params
+        self.cfg = cfg
+        self._step = jax.jit(lambda p, carry, mel, valid: CT.ctc_stream_step(
+            p, nn.Ctx.eval(), cfg, carry, mel, valid))
+        self._init = CT.ctc_stream_init
+
+    def reset(self, batch_size: int = 1):
+        self.carry = self._init(self.params, self.cfg, batch_size)
+        self._prev = np.full((batch_size,), -1, np.int64)
+        self.emitted = [[] for _ in range(batch_size)]
+        return self
+
+    def warm(self):
+        """Pre-compile the step at the reset batch size."""
+        b = self._prev.shape[0]
+        c, nm = self.cfg.ctc_chunk, self.cfg.num_mels
+        self._step(self.params, self.carry,
+                   jnp.zeros((b, c, nm), jnp.float32),
+                   jnp.zeros((b, c), bool))
+        return self
+
+    def step(self, mel_chunk, n_valid=None):
+        """Feed [B, t, n_mels] with t <= cfg.ctc_chunk (short final chunks
+        are zero-padded and masked). n_valid: optional [B] per-row valid
+        frame counts (default: all t frames). Returns the NEWLY emitted
+        token ids per row; `self.emitted` accumulates the transcripts
+        (capped at cfg.max_text_len, matching ctc_greedy_decode)."""
+        from ..models.ctc import BLANK_ID
+        mel_chunk = np.asarray(mel_chunk, np.float32)
+        b, t = mel_chunk.shape[:2]
+        c = self.cfg.ctc_chunk
+        assert t <= c, (t, c)
+        if n_valid is None:
+            n_valid = np.full((b,), t, np.int64)
+        if t < c:
+            mel_chunk = np.pad(mel_chunk, ((0, 0), (0, c - t), (0, 0)))
+        valid = np.arange(c)[None, :] < np.asarray(n_valid)[:, None]
+        self.carry, _, tok = self._step(self.params, self.carry,
+                                        jnp.asarray(mel_chunk),
+                                        jnp.asarray(valid))
+        tok = np.asarray(tok)
+        new = [[] for _ in range(b)]
+        cap = self.cfg.max_text_len
+        for i in range(b):
+            for f in range(int(n_valid[i])):
+                k = tok[i, f]
+                if k != BLANK_ID and k != self._prev[i] \
+                        and len(self.emitted[i]) < cap:
+                    new[i].append(int(k))
+                    self.emitted[i].append(int(k))
+                self._prev[i] = k
+        return new
 
 
 def stream_tts(syn, text: str, chunk: int = 32,

@@ -143,6 +143,20 @@ class ModelConfig:
     # objective. 0 = off (reference parity). Transformer/conformer only.
     ctc_weight: float = 0.0
 
+    # Streaming CTC ASR (WeNet-style chunk-causal attention): the CTC
+    # model's speech encoder attends within blocks of ctc_chunk frames
+    # plus ctc_left previous chunks (transformer.py::chunk_bias).
+    # Training and one-shot inference apply the mask in ctc_logits;
+    # infer/streaming.py::StreamingCtcAsr then reproduces the full
+    # forward EXACTLY from per-chunk slices with ctc_left cached chunks
+    # of K/V per layer — online ASR with bounded latency and state.
+    # 0 = off (full-context CTC). ctc_left < 0 = unlimited left context
+    # (chunk-causal only; streaming state then grows with the utterance,
+    # so StreamingCtcAsr requires ctc_left >= 0). Transformer speech
+    # encoder + attn_impl 'xla' only.
+    ctc_chunk: int = 0
+    ctc_left: int = 1
+
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25

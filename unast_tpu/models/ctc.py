@@ -41,9 +41,18 @@ def ctc_asr_init(key, cfg: ModelConfig):
 
 def ctc_logits(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
     """mel [B, T, n_mels] -> (logits f32 [B, T, V+1], frame_pad_mask
-    [B, T] True=PAD, new_state)."""
+    [B, T] True=PAD, new_state).
+
+    cfg.ctc_chunk > 0 applies the chunk-causal attention mask
+    (transformer.py::chunk_bias) so the SAME weights serve both this
+    one-shot path and infer/streaming.py's online path exactly."""
+    extra = None
+    if cfg.ctc_chunk > 0:
+        from . import transformer as T
+        extra = T.chunk_bias(mel.shape[1], cfg.ctc_chunk, cfg.ctc_left)
     (memory, pad_mask), new_s = N.speech_tr_encode(p, s, ctx, cfg, mel,
-                                                   mel_len)
+                                                   mel_len,
+                                                   extra_bias=extra)
     logits = nn.linear(p["ctc_head"], memory).astype(jnp.float32)
     return logits, pad_mask, new_s
 
@@ -72,6 +81,76 @@ def ctc_asr_infer(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
     logits, pad_mask, new_s = ctc_logits(p, s, ctx, cfg, mel, mel_len)
     ids, lens = ctc_greedy_decode(logits, pad_mask, cfg.max_text_len)
     return (ids, lens), new_s
+
+
+# ---------------------------------------------------------------------------
+# Streaming (online) inference over a chunk-masked model
+# ---------------------------------------------------------------------------
+
+
+def ctc_stream_init(p, cfg: ModelConfig, batch_size: int):
+    """Carry for ctc_stream_step: per-layer K/V ring caches of the last
+    cfg.ctc_left chunks, their validity mask, and the absolute frame
+    position (for the positional-encoding offset). Requires a model built
+    with cfg.ctc_chunk > 0 and ctc_left >= 0 (a negative ctc_left means
+    unlimited left context, whose state grows without bound — use the
+    one-shot ctc_asr_infer for that)."""
+    assert cfg.ctc_chunk > 0, "streaming needs a chunk-masked model"
+    assert cfg.ctc_left >= 0, "streaming needs bounded left context"
+    m = cfg.ctc_left * cfg.ctc_chunk
+    nlayers = len(p["encoder"]["layers"])
+    z = jnp.zeros((batch_size, m, cfg.nhead, cfg.e_in // cfg.nhead),
+                  cfg.dtype)
+    return {"k": [z] * nlayers, "v": [z] * nlayers,
+            "valid": jnp.zeros((batch_size, m), bool),
+            "pos": jnp.zeros((), jnp.int32)}
+
+
+def ctc_stream_step(p, ctx: nn.Ctx, cfg: ModelConfig, carry, mel_chunk,
+                    frame_valid):
+    """One online encoder step over mel_chunk [B, ctc_chunk, n_mels].
+
+    Reproduces ctc_logits EXACTLY (chunk-masked full forward) from
+    per-chunk slices: layer l's cached K/V for past chunks were computed
+    when those chunks streamed, under the same bounded attention field
+    the chunk mask gives the full forward, so the block-banded attention
+    factorizes chunk-by-chunk (tested: tests/test_streaming_asr.py).
+
+    frame_valid: bool [B, ctc_chunk], False for pad frames (only the
+    final partial chunk should contain any). Returns (new_carry,
+    logits f32 [B, ctc_chunk, V+1], tok [B, ctc_chunk] int32 per-frame
+    argmax — the greedy-CTC emission stream)."""
+    from . import transformer as T
+
+    if ctx.train:
+        raise ValueError("streaming inference requires an eval-mode Ctx")
+    c = cfg.ctc_chunk
+    m = carry["valid"].shape[1]
+    b = mel_chunk.shape[0]
+    x = M.speech_prenet(p["prenet"], ctx, mel_chunk, cfg)
+    x = M.positional_encoding(ctx, x, offset=carry["pos"])
+    key_valid = jnp.concatenate([carry["valid"], frame_valid], axis=1)
+    bias = jnp.where(key_valid, 0.0,
+                     T.NEG_INF)[:, None, None, :].astype(jnp.float32)
+    new_k, new_v = [], []
+    for li, lp in enumerate(p["encoder"]["layers"]):
+        attn = lp["attn"]
+        q, k, v = T._fused_proj([attn["q"], attn["k"], attn["v"]], x)
+        q, k, v = (T._split_heads(t, cfg.nhead) for t in (q, k, v))
+        k_full = jnp.concatenate([carry["k"][li], k], axis=1)
+        v_full = jnp.concatenate([carry["v"][li], v], axis=1)
+        o = T.attention_core(q, k_full, v_full, bias, ctx, cfg.e_drop)
+        a = nn.linear(attn["out"], o.reshape(b, c, -1))
+        x = nn.layernorm(lp["ln1"], x + a)
+        f = T._ffn(lp, ctx, x, cfg.e_drop)
+        x = nn.layernorm(lp["ln2"], x + f)
+        new_k.append(k_full[:, k_full.shape[1] - m:])
+        new_v.append(v_full[:, v_full.shape[1] - m:])
+    logits = nn.linear(p["ctc_head"], x).astype(jnp.float32)
+    new_carry = {"k": new_k, "v": new_v,
+                 "valid": key_valid[:, key_valid.shape[1] - m:],
+                 "pos": carry["pos"] + c}
+    return new_carry, logits, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 def ctc_prefix_beam_search(log_probs: "np.ndarray", n_frames: int,

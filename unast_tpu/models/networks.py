@@ -354,12 +354,16 @@ def speech_transformer_init(key, cfg: ModelConfig):
     return params, state
 
 
-def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
+def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False,
+                     extra_bias=None):
     pad_mask = ~M.lens_to_mask(lens, mel.shape[1])
     x = M.noise_fn(ctx, mel, cfg.noise_mask_p) if noise_in else mel
     x = M.speech_prenet(p["prenet"], ctx, x, cfg)
     x = M.positional_encoding(ctx, x)
     if cfg.speech_encoder == "conformer":
+        assert extra_bias is None, (
+            "chunk-masked (streaming) encoding requires the transformer "
+            "speech encoder — the conformer's depthwise conv is non-causal")
         from . import conformer as C
         memory, enc_s = C.conformer_encoder(
             p["encoder"], s["encoder"], ctx, x, pad_mask, cfg.nhead,
@@ -372,7 +376,8 @@ def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False):
                        scan_layers=cfg.scan_layers, remat=cfg.remat,
                        moe_opts=cfg.moe_opts, pp=cfg.pp,
                        pp_micro=cfg.pp_micro,
-                       remat_policy=cfg.remat_policy)
+                       remat_policy=cfg.remat_policy,
+                       extra_bias=extra_bias)
     return (memory, pad_mask), s
 
 

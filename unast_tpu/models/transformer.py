@@ -127,6 +127,21 @@ def causal_bias(t: int):
     return jnp.where(m, 0.0, NEG_INF)[None, None].astype(jnp.float32)
 
 
+def chunk_bias(t: int, chunk: int, left_chunks: int):
+    """Additive [1, 1, T, T] block-chunk attention mask (WeNet/Emformer
+    style): a query frame in chunk cq = q // chunk may attend key frames
+    in chunks [cq - left_chunks, cq]. left_chunks < 0 = unlimited left
+    context (pure chunk-causal). This is the training-time mask for
+    STREAMING CTC ASR (models/ctc.py, infer/streaming.py): inference over
+    per-chunk slices with `left_chunks` cached chunks then reproduces the
+    full forward exactly."""
+    cq = jnp.arange(t) // chunk
+    ok = cq[None, :] <= cq[:, None]  # no future chunks
+    if left_chunks >= 0:
+        ok &= cq[None, :] >= cq[:, None] - left_chunks
+    return jnp.where(ok, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -220,8 +235,14 @@ def _layer_ctx(base, train: bool, li, collect: bool = False):
 def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
             impl: str = "xla", scan_layers: bool = False,
             remat: bool = False, moe_opts=(1, 1.25), pp: int = 1,
-            pp_micro: int = 0, remat_policy: str = ""):
+            pp_micro: int = 0, remat_policy: str = "",
+            extra_bias=None):
     """x: [B, T, D], pad_mask: bool [B, T] True=PAD.
+
+    extra_bias: optional additive [1|B, 1|H, T, T] attention bias summed
+    with the padding bias in every layer (e.g. chunk_bias for streaming
+    CTC training). Requires impl='xla' (the flash path encodes masking as
+    (kv_lens, causal) and cannot express arbitrary biases).
 
     scan_layers=True runs the stack as a lax.scan over stacked layer params:
     the compiled program contains ONE layer body instead of L inlined copies
@@ -238,6 +259,9 @@ def encoder(p, ctx: nn.Ctx, x, pad_mask, nhead: int, dropout_p: float,
     sequential path — their aux-loss collection doesn't thread through
     the tick loop)."""
     bias = padding_bias(pad_mask)
+    if extra_bias is not None:
+        assert impl != "flash", "extra_bias requires the xla attention path"
+        bias = bias + extra_bias
     kv_lens = jnp.sum(~pad_mask, axis=1) if impl == "flash" else None
     collect = ctx.aux_losses is not None and _has_moe(p)
     if pp > 1 and not _has_moe(p):

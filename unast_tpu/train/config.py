@@ -223,6 +223,15 @@ def build_parser() -> argparse.ArgumentParser:
     add("--ctc_weight", type=float, default=0.0,
         help="hybrid CTC/attention: auxiliary CTC loss on the speech "
              "encoder in the supervised objective (0 = off)")
+    add("--ctc_chunk", type=int, default=0,
+        help="streaming CTC ASR: chunk-causal attention in the CTC "
+             "model's speech encoder (frames per chunk; 0 = full "
+             "context). Models trained with this stream exactly via "
+             "infer/streaming.py::StreamingCtcAsr")
+    add("--ctc_left", type=int, default=1,
+        help="with --ctc_chunk: how many previous chunks each chunk "
+             "attends to (bounds streaming state; -1 = unlimited left "
+             "context, one-shot decode only)")
     add("--nar_energy", type=lambda s: s.lower() != "false", default=False,
         help="FastSpeech-2-style energy adaptor (token mel-energy "
              "predictor + conditioning; energy_scale control)")
@@ -318,6 +327,9 @@ def model_config_from_args(args):
         nar_pitch=bool(getattr(args, "nar_pitch", False)),
         nar_energy=bool(getattr(args, "nar_energy", False)),
         ctc_weight=float(getattr(args, "ctc_weight", 0.0) or 0.0),
+        ctc_chunk=int(getattr(args, "ctc_chunk", 0) or 0),
+        ctc_left=int(getattr(args, "ctc_left", 1)
+                     if getattr(args, "ctc_left", 1) is not None else 1),
         use_discriminator=args.use_discriminator, disc_hid=args.disc_hid,
         disc_bidirectional=args.disc_bidirectional,
         disc_num_layers=args.disc_num_layers,
