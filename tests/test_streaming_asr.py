@@ -58,9 +58,10 @@ def test_chunk_mask_restricts_receptive_field():
                   - np.asarray(base[0, 12:16])).max() > 1e-3
 
 
-@pytest.mark.parametrize("left", [0, 1, 2])
-def test_stream_step_equals_full_forward(left):
-    cfg = _chunked_cfg(chunk=4, left=left)
+@pytest.mark.parametrize("left,pos", [(0, "abs"), (1, "abs"), (2, "abs"),
+                                      (0, "rel"), (2, "rel")])
+def test_stream_step_equals_full_forward(left, pos):
+    cfg = _chunked_cfg(chunk=4, left=left, ctc_pos=pos)
     p, s = C.ctc_asr_init(jax.random.PRNGKey(1), cfg)
     rng = np.random.RandomState(1)
     t = 16
@@ -88,8 +89,9 @@ def test_stream_step_equals_full_forward(left):
                                    atol=2e-4, rtol=1e-4)
 
 
-def test_streaming_asr_class_matches_one_shot_decode():
-    cfg = _chunked_cfg(chunk=4, left=1)
+@pytest.mark.parametrize("pos", ["abs", "rel"])
+def test_streaming_asr_class_matches_one_shot_decode(pos):
+    cfg = _chunked_cfg(chunk=4, left=1, ctc_pos=pos)
     p, s = C.ctc_asr_init(jax.random.PRNGKey(2), cfg)
     rng = np.random.RandomState(2)
     t = 19  # final chunk is partial
@@ -109,6 +111,62 @@ def test_streaming_asr_class_matches_one_shot_decode():
     for i in range(2):
         np.testing.assert_array_equal(
             np.asarray(sa.emitted[i], np.int32), ids[i, :out_lens[i]])
+
+
+def test_rel_pos_translation_invariance():
+    """ctc_pos='rel': logits depend only on the bounded attention field's
+    CONTENT, not the absolute stream position — prepending a chunk of
+    frames shifts the outputs without changing them (the property that
+    makes unbounded online streams exact). The EFFECTIVE left receptive
+    field stacks with depth (layer 2 reads layer-1 outputs that saw one
+    more chunk back), so the invariant region starts at Y-chunk
+    num_layers*left. The absolute-PE path must NOT have this property
+    (sanity that the test can fail)."""
+    for pos, invariant in (("rel", True), ("abs", False)):
+        cfg = _chunked_cfg(chunk=4, left=1, ctc_pos=pos)
+        p, s = C.ctc_asr_init(jax.random.PRNGKey(3), cfg)
+        rng = np.random.RandomState(3)
+        y = rng.randn(1, 16, cfg.num_mels).astype(np.float32)
+        x = rng.randn(1, 4, cfg.num_mels).astype(np.float32)
+        base, _, _ = C.ctc_logits(p, s, nn.Ctx.eval(), cfg,
+                                  jnp.asarray(y), jnp.array([16]))
+        shift, _, _ = C.ctc_logits(p, s, nn.Ctx.eval(), cfg,
+                                   jnp.asarray(np.concatenate([x, y], 1)),
+                                   jnp.array([20]))
+        # y-chunks >= num_layers*left = 2: stacked field fully within y
+        a = np.asarray(base[0, 8:16])
+        b = np.asarray(shift[0, 12:20])
+        if invariant:
+            np.testing.assert_allclose(b, a, atol=1e-5)
+        else:
+            assert np.abs(b - a).max() > 1e-3
+
+
+def test_rel_pos_bias_trains():
+    """The rel table is a live parameter: the CTC loss gradient through
+    it is nonzero (it rides the training forward via ctc_logits)."""
+    cfg = _chunked_cfg(chunk=4, left=1, ctc_pos="rel")
+    p, s = C.ctc_asr_init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.RandomState(4)
+    mel = jnp.asarray(rng.randn(2, 8, cfg.num_mels).astype(np.float32))
+    labels = jnp.array([[3, 5, 0], [7, 0, 0]], jnp.int32)
+
+    def loss(p):
+        logits, pad, _ = C.ctc_logits(p, s, nn.Ctx.eval(), cfg, mel,
+                                      jnp.array([8, 6]))
+        return C.ctc_loss(logits, pad, labels, jnp.array([2, 1]))
+
+    g = jax.grad(loss)(p)
+    assert np.abs(np.asarray(g["rel_pos"])).max() > 0
+
+
+def test_rel_pos_requires_bounded_field():
+    with pytest.raises(AssertionError):
+        C.ctc_asr_init(jax.random.PRNGKey(0),
+                       _chunked_cfg(chunk=0, left=1, ctc_pos="rel"))
+    with pytest.raises(AssertionError):
+        C.ctc_asr_init(jax.random.PRNGKey(0),
+                       _chunked_cfg(chunk=4, left=-1, ctc_pos="rel"))
 
 
 def test_stream_init_rejects_unbounded_left():

@@ -156,6 +156,17 @@ class ModelConfig:
     # encoder + attn_impl 'xla' only.
     ctc_chunk: int = 0
     ctc_left: int = 1
+    # Position representation for the (chunk-masked) CTC speech encoder:
+    # 'abs' = the reference's absolute sinusoid PE (src/module.py:249-267)
+    #   — streaming is capped at the 5000-entry table (~62 s at hop 275)
+    #   and extrapolates beyond trained positions;
+    # 'rel' = learned per-head RELATIVE position bias over the bounded
+    #   chunk attention field (T5-style, shared across layers; no
+    #   absolute PE added). Translation-invariant, so online streams of
+    #   ANY length are exact and match the training distribution.
+    #   Requires ctc_chunk > 0 and ctc_left >= 0 (a bounded field is what
+    #   makes the relative-distance table finite).
+    ctc_pos: str = "abs"
 
     moe_experts: int = 0
     moe_top_k: int = 1

@@ -29,14 +29,57 @@ BLANK_ID = VOCAB_SIZE  # 46 — one past the symbol table
 def ctc_asr_init(key, cfg: ModelConfig):
     """Returns (params, state): the speech-side encoder tree (prenet +
     encoder, exactly networks.speech_transformer_init's encoder half, so
-    cfg.speech_encoder='conformer' works unchanged) plus the CTC head."""
-    k_enc, k_head = jax.random.split(key)
+    cfg.speech_encoder='conformer' works unchanged) plus the CTC head.
+
+    cfg.ctc_pos='rel' adds a learned per-head RELATIVE position bias
+    table over the bounded chunk attention field (T5-style, shared
+    across layers) and drops the absolute sinusoid PE — see rel_bias."""
+    k_enc, k_head, k_rel = jax.random.split(key, 3)
     enc_p, enc_s = N.speech_transformer_init(k_enc, cfg)
     del enc_p["decoder"], enc_p["postnet"]
     state = {k: v for k, v in enc_s.items() if k != "postnet"}
     enc_p["ctc_head"] = nn.linear_init(k_head, cfg.e_in, VOCAB_SIZE + 1,
                                        torch_default=True)
+    if cfg.ctc_pos == "rel":
+        assert cfg.ctc_chunk > 0 and cfg.ctc_left >= 0, (
+            "ctc_pos='rel' needs a bounded chunk attention field "
+            "(ctc_chunk > 0, ctc_left >= 0) — that is what makes the "
+            "relative-distance table finite")
+        enc_p["rel_pos"] = 0.02 * jax.random.normal(
+            k_rel, (cfg.nhead, rel_table_size(cfg)), jnp.float32)
     return enc_p, state
+
+
+# ---------------------------------------------------------------------------
+# Relative position bias (cfg.ctc_pos='rel')
+# ---------------------------------------------------------------------------
+#
+# The reference's speech encoder (and the 'abs' default here) adds the
+# 5000-entry absolute sinusoid PE (src/module.py:249-267), which caps a
+# stream at ~62 s (hop 275) and extrapolates beyond trained positions.
+# With the chunk mask, a query at frame q only ever sees keys at
+# distances d = q - k in [-(chunk-1), (left+1)*chunk - 1] — a FINITE set
+# — so a learned per-head bias table over those distances (T5-style,
+# Raffel et al. 2020, shared across layers) carries all the position
+# information the bounded field can use. It is translation-invariant:
+# online streams of ANY length are exact and match the training
+# distribution, with no table cap and no extrapolation regime.
+
+
+def rel_table_size(cfg: ModelConfig) -> int:
+    """Distances within the chunk field: -(chunk-1) .. (left+1)*chunk-1."""
+    return (cfg.ctc_left + 2) * cfg.ctc_chunk - 1
+
+
+def rel_bias(table, q_pos, k_pos, cfg: ModelConfig):
+    """table [H, S] -> additive bias [1, H, Tq, Tk] with
+    bias[0, h, i, j] = table[h, (q_pos[i] - k_pos[j]) + (chunk-1)].
+    Out-of-field distances are clamped — those pairs are NEG_INF-masked
+    by the chunk mask (one-shot) or the validity mask (streaming), so
+    the clamped value never reaches a softmax."""
+    d = q_pos[:, None] - k_pos[None, :] + (cfg.ctc_chunk - 1)
+    d = jnp.clip(d, 0, table.shape[1] - 1)
+    return table[:, d][None].astype(jnp.float32)
 
 
 def ctc_logits(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
@@ -45,14 +88,20 @@ def ctc_logits(p, s, ctx: nn.Ctx, cfg: ModelConfig, mel, mel_len):
 
     cfg.ctc_chunk > 0 applies the chunk-causal attention mask
     (transformer.py::chunk_bias) so the SAME weights serve both this
-    one-shot path and infer/streaming.py's online path exactly."""
+    one-shot path and infer/streaming.py's online path exactly.
+    cfg.ctc_pos='rel' rides the relative bias on the same extra_bias
+    slot and skips the absolute PE (see rel_bias)."""
     extra = None
+    t = mel.shape[1]
     if cfg.ctc_chunk > 0:
         from . import transformer as T
-        extra = T.chunk_bias(mel.shape[1], cfg.ctc_chunk, cfg.ctc_left)
-    (memory, pad_mask), new_s = N.speech_tr_encode(p, s, ctx, cfg, mel,
-                                                   mel_len,
-                                                   extra_bias=extra)
+        extra = T.chunk_bias(t, cfg.ctc_chunk, cfg.ctc_left)
+    if cfg.ctc_pos == "rel":
+        pos = jnp.arange(t)
+        extra = extra + rel_bias(p["rel_pos"], pos, pos, cfg)
+    (memory, pad_mask), new_s = N.speech_tr_encode(
+        p, s, ctx, cfg, mel, mel_len, extra_bias=extra,
+        add_pe=cfg.ctc_pos != "rel")
     logits = nn.linear(p["ctc_head"], memory).astype(jnp.float32)
     return logits, pad_mask, new_s
 
@@ -128,10 +177,17 @@ def ctc_stream_step(p, ctx: nn.Ctx, cfg: ModelConfig, carry, mel_chunk,
     m = carry["valid"].shape[1]
     b = mel_chunk.shape[0]
     x = M.speech_prenet(p["prenet"], ctx, mel_chunk, cfg)
-    x = M.positional_encoding(ctx, x, offset=carry["pos"])
+    if cfg.ctc_pos != "rel":
+        x = M.positional_encoding(ctx, x, offset=carry["pos"])
     key_valid = jnp.concatenate([carry["valid"], frame_valid], axis=1)
     bias = jnp.where(key_valid, 0.0,
                      T.NEG_INF)[:, None, None, :].astype(jnp.float32)
+    if cfg.ctc_pos == "rel":
+        # cache slot j holds the key m-j frames before the chunk start;
+        # query i sits at in-window position m+i — distances m+i-j match
+        # the one-shot rel_bias exactly, independent of stream position
+        bias = bias + rel_bias(p["rel_pos"], m + jnp.arange(c),
+                               jnp.arange(m + c), cfg)
     new_k, new_v = [], []
     for li, lp in enumerate(p["encoder"]["layers"]):
         attn = lp["attn"]

@@ -355,11 +355,15 @@ def speech_transformer_init(key, cfg: ModelConfig):
 
 
 def speech_tr_encode(p, s, ctx, cfg: ModelConfig, mel, lens, noise_in=False,
-                     extra_bias=None):
+                     extra_bias=None, add_pe=True):
+    """add_pe=False skips the absolute sinusoid PE — used by the
+    relative-position CTC encoder (models/ctc.py, cfg.ctc_pos='rel'),
+    whose position information rides `extra_bias` instead."""
     pad_mask = ~M.lens_to_mask(lens, mel.shape[1])
     x = M.noise_fn(ctx, mel, cfg.noise_mask_p) if noise_in else mel
     x = M.speech_prenet(p["prenet"], ctx, x, cfg)
-    x = M.positional_encoding(ctx, x)
+    if add_pe:
+        x = M.positional_encoding(ctx, x)
     if cfg.speech_encoder == "conformer":
         assert extra_bias is None, (
             "chunk-masked (streaming) encoding requires the transformer "

@@ -232,6 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --ctc_chunk: how many previous chunks each chunk "
              "attends to (bounds streaming state; -1 = unlimited left "
              "context, one-shot decode only)")
+    add("--ctc_pos", type=str, default="abs", choices=["abs", "rel"],
+        help="CTC speech-encoder positions: 'abs' sinusoid PE (streams "
+             "cap at the 5000-frame table) or 'rel' learned relative "
+             "bias over the chunk field (unbounded streams)")
     add("--nar_energy", type=lambda s: s.lower() != "false", default=False,
         help="FastSpeech-2-style energy adaptor (token mel-energy "
              "predictor + conditioning; energy_scale control)")
@@ -330,6 +334,7 @@ def model_config_from_args(args):
         ctc_chunk=int(getattr(args, "ctc_chunk", 0) or 0),
         ctc_left=int(getattr(args, "ctc_left", 1)
                      if getattr(args, "ctc_left", 1) is not None else 1),
+        ctc_pos=getattr(args, "ctc_pos", "abs") or "abs",
         use_discriminator=args.use_discriminator, disc_hid=args.disc_hid,
         disc_bidirectional=args.disc_bidirectional,
         disc_num_layers=args.disc_num_layers,
