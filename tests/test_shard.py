@@ -249,3 +249,44 @@ def test_melwav_crops_subset_indices(wav_pair):
     np.testing.assert_array_equal(sub[1]["wav"], wav_ds[1])
     mf, ns = sub.crop_lens(1)
     assert mf == items[1]["mel"].shape[0] and ns == len(wavs[1])
+
+
+def test_wav_shard_from_dir_aligns_with_trimmed_mel(tmp_path):
+    """prepare.write_wav_shard_from_dir must pack the TRIMMED sample span
+    (the span the mel analysis actually covered, wav_to_mel_mag trim=True)
+    — real speech files carry leading/trailing silence that would
+    otherwise skew every MelWavCrops vocoder crop pair."""
+    from unast_tpu.audio import ref_dsp
+    from unast_tpu.audio.params import DEFAULT as P
+    from unast_tpu.data.prepare import write_wav_shard_from_dir
+    from unast_tpu.infer.synthesize import write_wav
+
+    rng = np.random.default_rng(3)
+    tone = (0.5 * np.sin(2 * np.pi * 220.0 *
+                         np.arange(int(0.5 * P.sr)) / P.sr)
+            + 0.01 * rng.standard_normal(int(0.5 * P.sr)))
+    sil = np.zeros(int(0.3 * P.sr), np.float32)
+    y = np.concatenate([sil, tone.astype(np.float32), sil])
+    wdir = tmp_path / "wavs"
+    wdir.mkdir()
+    write_wav(str(wdir / "a.wav"), y)
+    out = str(tmp_path / "a.unwv")
+    write_wav_shard_from_dir([("a", "text")], str(wdir), out)
+    ds = WavShardDataset(out)
+
+    # the stored float wav equals write_wav's PCM16 payload over the
+    # SAME bounds the (float) mel-path trim selects
+    pcm = (np.clip(y, -1, 1) * 32767.0).astype(np.int16)
+    _, (s, e) = ref_dsp.trim_silence(pcm.astype(np.float32) / 32768.0, P)
+    assert s > 0 and e < len(y), "fixture must actually be trimmed"
+    np.testing.assert_array_equal(
+        ds[0], pcm[s:e].astype(np.float32) / 32768.0)
+    # frame t of the trimmed-analysis mel <-> samples [t*hop,(t+1)*hop)
+    n_frames = 1 + (e - s) // P.hop_length
+    assert abs(len(ds[0]) // P.hop_length + 1 - n_frames) <= 1
+
+    # trim=False keeps the raw payload (corpora whose mels skip trim)
+    out2 = str(tmp_path / "b.unwv")
+    write_wav_shard_from_dir([("a", "text")], str(wdir), out2, trim=False)
+    np.testing.assert_array_equal(
+        WavShardDataset(out2)[0], pcm.astype(np.float32) / 32768.0)

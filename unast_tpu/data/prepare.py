@@ -179,10 +179,22 @@ def main(argv=None):
                                  args.wav_shard_out)
 
 
-def write_wav_shard_from_dir(rows, wavs_dir: str, out_path: str):
+def write_wav_shard_from_dir(rows, wavs_dir: str, out_path: str,
+                             trim: bool = True):
     """Pack <wavs_dir>/<fid>.wav (PCM16, manifest order) into one wav
-    shard, byte-exact with the file payloads (no float round-trip)."""
+    shard. The payload is the file's int16 samples with no float
+    round-trip, TRIMMED (trim=True, default) with the same
+    silence-trim bounds the mel path applied (wav_to_mel_mag's
+    trim=True; the dB decision is scale-invariant, so int16 bounds
+    equal the float path's) — frame t of the cached/sharded mel then
+    corresponds to samples [t*hop, (t+1)*hop) of the sharded wav, the
+    alignment data/shard.py::MelWavCrops depends on. On real speech the
+    raw files carry leading/trailing silence the mel analysis dropped;
+    packing them unaligned would silently skew every vocoder crop pair.
+    trim=False packs the raw payload byte-exactly (only correct for
+    corpora whose mels were built with trim disabled)."""
     from .shard import write_wav_shard
+    from .. import native
 
     class _Seq:
         def __len__(self):
@@ -190,7 +202,13 @@ def write_wav_shard_from_dir(rows, wavs_dir: str, out_path: str):
 
         def __iter__(self):
             for fid, _ in rows:
-                yield read_wav_pcm16(os.path.join(wavs_dir, fid + ".wav"))
+                pcm = read_wav_pcm16(os.path.join(wavs_dir, fid + ".wav"))
+                if trim:
+                    from ..audio.params import DEFAULT as P
+                    pcm, _ = native.trim_silence_i16(
+                        pcm, P.trim_frame_length, P.trim_hop_length,
+                        P.trim_top_db)
+                yield pcm
 
     write_wav_shard(_Seq(), out_path)
     print(f"[prepare] wav shard: {out_path} "
