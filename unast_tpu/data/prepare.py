@@ -135,11 +135,33 @@ def main(argv=None):
         # ~20x the per-clip path's end-to-end throughput.
         from ..audio import dsp
         done = 0
+        cap = int(args.bucket_s * 22050) if args.bucket_s > 0 else 0
         for c0 in range(0, len(rows), args.batch):
             chunk = rows[c0:c0 + args.batch]
+            orig_n = len(chunk)
             wavs = [read_wav(os.path.join(args.data_path, "wavs",
                                           fid + ".wav"))
                     for fid, _ in chunk]
+            if cap and any(len(w) > cap for w in wavs):
+                # over-long clips can't ride the pinned bucket — route
+                # them through the per-clip path (its own cached bucket
+                # ladder) instead of aborting the corpus run
+                keep = [j for j, w in enumerate(wavs) if len(w) <= cap]
+                for j, (fid, _) in enumerate(chunk):
+                    if j in keep:
+                        continue
+                    print(f"[prepare] {fid}: {len(wavs[j]) / 22050:.1f}s "
+                          f"> bucket_s {args.bucket_s} — per-clip path",
+                          file=sys.stderr)
+                    total += process_clip(
+                        os.path.join(args.data_path, "wavs", fid + ".wav"),
+                        args.cache_dir, fid, use_jax=True, with_f0=args.f0,
+                        with_mag=not args.no_mag)
+                chunk = [chunk[j] for j in keep]
+                wavs = [wavs[j] for j in keep]
+                if not chunk:
+                    done += orig_n
+                    continue
             # pad the final chunk to the pinned batch size — a smaller B
             # would be a second (minutes-cold) program
             pad_wavs = wavs + [np.zeros(1, np.float32)] * (args.batch
@@ -158,7 +180,7 @@ def main(argv=None):
                 if args.f0:
                     _save_f0(wavs[j], n, args.cache_dir, fid)
                 total += n
-            done += len(chunk)
+            done += orig_n
             if done % 512 < args.batch and done < len(rows):
                 print(f"[prepare] {done}/{len(rows)} clips, {total} "
                       f"frames", file=sys.stderr)
