@@ -233,7 +233,9 @@ if __name__ == "__main__":
                          "tokens (0 = keep all)")
     ap.add_argument("--dur_jitter", type=float, default=0.0,
                     help="per-phoneme duration jitter: each tone's length "
-                         "is uniform in [1-j, 1+j] * phoneme_dur. 0 = the "
+                         "is _DUR_FACTOR[pid] * U(1-j, 1+j) * phoneme_dur "
+                         "(intrinsic 0.6-1.5 per-id factor + noise, "
+                         "data/dataset.py::synth_audio). 0 = the "
                          "historical constant-duration corpus, on which "
                          "NAR duration modeling is TRIVIAL (a uniform "
                          "predictor matches the oracle grid exactly); "
