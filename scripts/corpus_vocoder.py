@@ -69,6 +69,12 @@ class CorpusVocItems:
         mel = np.load(os.path.join(self.workdir, "mel_cache",
                                    name + ".mel.npy")).astype(np.float32)
         wav = read_wav(os.path.join(self.workdir, "wavs", name + ".wav"))
+        # The mel cache was analyzed over the silence-TRIMMED span
+        # (dsp._host_prep) — trim the raw wav to the same span, else
+        # every crop pair is misaligned on real speech with leading/
+        # trailing silence (no-op on the synthetic rehearsal corpora).
+        from unast_tpu.audio import ref_dsp
+        wav, _ = ref_dsp.trim_silence(wav, P)
         return mel, wav
 
     def __getitem__(self, i):

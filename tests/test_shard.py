@@ -281,9 +281,11 @@ def test_wav_shard_from_dir_aligns_with_trimmed_mel(tmp_path):
     assert s > 0 and e < len(y), "fixture must actually be trimmed"
     np.testing.assert_array_equal(
         ds[0], pcm[s:e].astype(np.float32) / 32768.0)
-    # frame t of the trimmed-analysis mel <-> samples [t*hop,(t+1)*hop)
-    n_frames = 1 + (e - s) // P.hop_length
-    assert abs(len(ds[0]) // P.hop_length + 1 - n_frames) <= 1
+    # frame t of the trimmed-analysis mel <-> samples [t*hop,(t+1)*hop):
+    # run the ACTUAL mel analysis on the raw wav (it trims internally)
+    # and tie its frame count to the shard payload's sample count
+    mel, _ = ref_dsp.wav_to_mel_mag(y)
+    assert mel.shape[0] == 1 + len(ds[0]) // P.hop_length
 
     # trim=False keeps the raw payload (corpora whose mels skip trim)
     out2 = str(tmp_path / "b.unwv")

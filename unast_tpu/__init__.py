@@ -28,36 +28,38 @@ EOS_IDX = 2
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the decode/train-step programs take
     minutes to compile (single-core host); caching makes repeated CLI/bench
-    runs start hot. Disable with UNAST_NO_COMP_CACHE=1."""
+    runs start hot. Disable with UNAST_NO_COMP_CACHE=1.
+
+    CPU backend: the cache is DISABLED outright. XLA:CPU serializes AOT
+    host machine code whose cache key does not fully capture host CPU
+    features or XLA tuning flags; loading a foreign entry aborts the
+    process ("Target machine feature +prefer-no-gather is not supported
+    on the host machine" -> SIGILL/SIGABRT), and the serialize-on-write
+    path itself has been observed to SIGSEGV mid-suite (round-3 judge
+    run, jax compilation_cache.put_executable_and_time). A round-3
+    host-fingerprint scoping of the cache dir did not stop either failure
+    class. CPU is our correctness substrate (tests, dryrun_multichip),
+    not the serving path, and its compiles are seconds-to-minutes — so
+    no cache there; the axon/TPU backend, where cold compiles cost
+    minutes and entries are host-independent device binaries, keeps it.
+    """
     if _os.environ.get("UNAST_NO_COMP_CACHE"):
         return
     try:
         import jax
+        plats = (_os.environ.get("JAX_PLATFORMS") or "").lower()
+        try:
+            plats = plats or (jax.config.jax_platforms or "").lower()
+        except AttributeError:
+            pass
+        # Primary backend only: the image's sitecustomize sets
+        # 'axon,cpu' (TPU preferred, cpu fallback) — that must keep the
+        # cache; an explicit 'cpu'-first setting (tests, dryrun) must not.
+        if plats.split(",")[0].strip() == "cpu":
+            return
         cache_dir = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.expanduser("~/.cache/unast_tpu_xla"))
-        if "cpu" in (_os.environ.get("JAX_PLATFORMS") or "").lower():
-            # XLA:CPU persists AOT results (host machine code) under a
-            # cache key that does NOT include the host's CPU features;
-            # loading an executable compiled on a different machine (or
-            # with different XLA tuning features) kills the process
-            # (observed: "Target machine feature +prefer-no-gather is
-            # not supported on the host machine" -> Fatal Python error:
-            # Aborted, from a cache written by an earlier round's host).
-            # Scope CPU-backend caches to a host fingerprint so reuse is
-            # same-machine only; device-backend caches (device binaries,
-            # host-independent) keep the shared directory.
-            import hashlib as _hashlib
-            import platform as _platform
-            try:
-                with open("/proc/cpuinfo") as _f:
-                    _flags = next(
-                        (l for l in _f if l.startswith("flags")), "")
-            except OSError:
-                _flags = _platform.processor()
-            _fp = _hashlib.sha256(
-                (_platform.machine() + _flags).encode()).hexdigest()[:12]
-            cache_dir = _os.path.join(cache_dir, f"cpu-{_fp}")
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

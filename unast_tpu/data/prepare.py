@@ -76,6 +76,20 @@ def _save_f0(wav: np.ndarray, n_frames: int, cache_dir: str, fid: str):
     np.save(os.path.join(cache_dir, fid + ".f0.npy"), f0.astype(np.float32))
 
 
+def _trimmed_len(wav: np.ndarray) -> int:
+    """Silence-trimmed sample count, matching dsp._host_prep's trim
+    (native fast path, ref_dsp fallback)."""
+    from ..audio.params import DEFAULT as P
+    try:
+        from .. import native
+        y, _ = native.trim_silence(np.asarray(wav, np.float32),
+                                   P.trim_frame_length, P.trim_hop_length,
+                                   P.trim_top_db)
+    except Exception:
+        y, _ = ref_dsp.trim_silence(np.asarray(wav, np.float32), P)
+    return len(y)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_path", required=True)
@@ -134,8 +148,11 @@ def main(argv=None):
         # the DSP itself — one vmapped call per --batch clips measured
         # ~20x the per-clip path's end-to-end throughput.
         from ..audio import dsp
+        from ..audio.params import DEFAULT as P
         done = 0
-        cap = int(args.bucket_s * 22050) if args.bucket_s > 0 else 0
+        # cap mirrors the bucket assert inside dsp.wav_to_mel_mag_batch
+        # (bucket_s * p.sr, checked against the TRIMMED length)
+        cap = int(args.bucket_s * P.sr) if args.bucket_s > 0 else 0
         for c0 in range(0, len(rows), args.batch):
             chunk = rows[c0:c0 + args.batch]
             orig_n = len(chunk)
@@ -145,14 +162,19 @@ def main(argv=None):
             if cap and any(len(w) > cap for w in wavs):
                 # over-long clips can't ride the pinned bucket — route
                 # them through the per-clip path (its own cached bucket
-                # ladder) instead of aborting the corpus run
-                keep = [j for j, w in enumerate(wavs) if len(w) <= cap]
+                # ladder) instead of aborting the corpus run. The bucket
+                # assert checks the TRIMMED length, so trim-check first:
+                # a raw-over-cap clip whose silence-trimmed span fits
+                # stays on the fast batched path (each distinct length on
+                # the per-clip path risks a minutes-cold compile).
+                keep = [j for j, w in enumerate(wavs)
+                        if len(w) <= cap or _trimmed_len(w) <= cap]
                 for j, (fid, _) in enumerate(chunk):
                     if j in keep:
                         continue
-                    print(f"[prepare] {fid}: {len(wavs[j]) / 22050:.1f}s "
-                          f"> bucket_s {args.bucket_s} — per-clip path",
-                          file=sys.stderr)
+                    print(f"[prepare] {fid}: {len(wavs[j]) / P.sr:.1f}s "
+                          f"trimmed > bucket_s {args.bucket_s} — "
+                          f"per-clip path", file=sys.stderr)
                     total += process_clip(
                         os.path.join(args.data_path, "wavs", fid + ".wav"),
                         args.cache_dir, fid, use_jax=True, with_f0=args.f0,
