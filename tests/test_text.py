@@ -139,3 +139,76 @@ def test_cmudict_wrapper():
     data.seek(0)
     d2 = CMUDict(data, keep_ambiguous=False)
     assert d2.lookup("hello") is None and d2.lookup("world") is not None
+
+
+class TestMorphDerivation:
+    """text/morph.py: inflection phonology from base lexicon entries."""
+
+    def test_regular_suffixes(self):
+        from unast_tpu.text.phonemizer import word_to_ipa
+        # plural voicing: voiceless+s, voiced+z, sibilant+ɪz
+        assert word_to_ipa("quotes") == "kwoʊts"
+        assert word_to_ipa("rifles") == "ˈraɪfəlz"
+        assert word_to_ipa("churches") == "ʧərʧəz"
+        # -ed voicing: t/d+ɪd, voiceless+t, voiced+d
+        assert word_to_ipa("visited") == "ˈvɪzətəd"
+        assert word_to_ipa("walked") == "wɔkt"
+        assert word_to_ipa("charged") == "ʧɑrʤd"
+        # spelling adjustments: -ies->y, silent-e restore, doubling
+        assert word_to_ipa("cities") == "ˈsɪtiz"
+        assert word_to_ipa("making") == "meɪkɪŋ"
+        assert word_to_ipa("stopped") == "stɑpt"
+
+    def test_stacked_and_prefixed(self):
+        from unast_tpu.text.phonemizer import word_to_ipa
+        assert word_to_ipa("buildings") == "ˈbɪldɪŋz"   # build+ing+s
+        assert word_to_ipa("unknown") == "ənnoʊn"
+        assert word_to_ipa("reportedly") == "rɪˈpɔrtədli"
+
+    def test_exact_lexicon_wins_over_morph(self):
+        # 'does' could derive as do+z (duz); the irregular lexicon entry
+        # must win (reference eng_to_ipa is a dict lookup: CMU has it).
+        from unast_tpu.text.phonemizer import word_to_ipa
+        assert word_to_ipa("does") == "dəz"
+        assert word_to_ipa("said") == "sɛd"
+
+    def test_quote_apostrophe_stripped(self):
+        from unast_tpu.text.phonemizer import word_to_ipa
+        assert word_to_ipa("'flowery") == word_to_ipa("flowery")
+
+    def test_static_lexicon_inventory_clean(self):
+        from unast_tpu.text.phonemizer import (STATIC_LEXICON, _fold_ipa)
+        from unast_tpu.text.symbols import SYMBOL_TO_ID
+        assert len(STATIC_LEXICON) > 4000
+        for w, ipa in STATIC_LEXICON.items():
+            folded = _fold_ipa(ipa)
+            assert folded and all(ch in SYMBOL_TO_ID for ch in folded), (
+                w, ipa)
+
+    def test_ljspeech_token_coverage(self):
+        """VERDICT r3 item 4 gate: lexicon(+morph) >= 95% of word tokens
+        on the real LJSpeech transcripts (reference G2P is a CMU dict
+        lookup, src/data/__init__.py:18-32)."""
+        import collections
+        import os
+        from unast_tpu.data.dataset import load_manifest
+        from unast_tpu.data.splits import REFERENCE_SPLITS_DIR
+        from unast_tpu.text import phonemizer as PH
+        from unast_tpu.text import morph as M
+        from unast_tpu.text.cleaners import clean_text
+        words = collections.Counter()
+        for split in ("full_train", "val", "test"):
+            for fid, text in load_manifest(
+                    os.path.join(REFERENCE_SPLITS_DIR, f"{split}.csv")):
+                cleaned = clean_text(text, ["english_cleaners"])
+                for m in PH._word_re.finditer(cleaned):
+                    words[m.group(0)] += 1
+        total = sum(words.values())
+        hit = 0
+        for w, c in words.items():
+            ws = w.strip("'")
+            if (PH.lexicon_lookup(w) or PH.lexicon_lookup(ws)
+                    or M.derive(w, PH.lexicon_lookup)
+                    or M.derive(ws, PH.lexicon_lookup)):
+                hit += c
+        assert hit / total >= 0.95, hit / total

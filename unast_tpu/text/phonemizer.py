@@ -139,6 +139,37 @@ CORE_LEXICON: Dict[str, str] = {
 _runtime_lexicon: Dict[str, str] = {}
 
 
+def _load_static_lexicon() -> Dict[str, str]:
+    """Bulk curated lexicon (lexicon_en.tsv, `word<TAB>ipa`), authored for
+    the full LJSpeech vocabulary — the offline stand-in for the reference's
+    CMU-backed eng_to_ipa dictionary (src/data/__init__.py:18-32). CORE
+    entries win over it on conflict (word_to_ipa lookup order)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "lexicon_en.tsv")
+    lex: Dict[str, str] = {}
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split("\t")
+                if len(parts) == 2:
+                    lex[parts[0].lower()] = parts[1].strip()
+    except OSError:
+        pass
+    return lex
+
+
+STATIC_LEXICON: Dict[str, str] = _load_static_lexicon()
+
+
+def lexicon_lookup(w: str):
+    """Exact lexicon lookup (runtime > core > static), no fallback."""
+    return (_runtime_lexicon.get(w) or CORE_LEXICON.get(w)
+            or STATIC_LEXICON.get(w))
+
+
 def load_lexicon(path: str) -> int:
     """Load additional `word<TAB>ipa` entries; returns count loaded."""
     n = 0
@@ -209,13 +240,21 @@ def _apply_rules(word: str) -> str:
 
 def word_to_ipa(word: str, strict_oov: bool = False) -> str:
     w = word.lower()
-    if w in _runtime_lexicon:
-        return _runtime_lexicon[w]
-    if w in CORE_LEXICON:
-        return CORE_LEXICON[w]
+    # Quote-mark apostrophes glued to the word ('flowery, tis') are
+    # punctuation, not contraction — strip them before lookup.
+    ipa = lexicon_lookup(w) or lexicon_lookup(w.strip("'"))
+    if ipa is not None:
+        return ipa
     if strict_oov:
         # Reference eng_to_ipa behavior: keep the raw word, append '*'.
         return w + "*"
+    # Morphological derivation from a base-form lexicon entry (regular
+    # inflection phonology, text/morph.py) before the letter-to-sound rules.
+    from . import morph
+    derived = (morph.derive(w, lexicon_lookup)
+               or morph.derive(w.strip("'"), lexicon_lookup))
+    if derived is not None:
+        return derived
     return _apply_rules(w)
 
 
