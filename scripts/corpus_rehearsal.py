@@ -36,9 +36,9 @@ ALL_SPLITS = ("full_train", "val", "test")
 def phase_a(args):
     """G2P coverage over every real transcript."""
     from unast_tpu.text import raw_text_to_phoneme_ids
+    from unast_tpu.text import morph
     from unast_tpu.text.cleaners import clean_text
-    from unast_tpu.text.phonemizer import (CORE_LEXICON, _runtime_lexicon,
-                                           _word_re)
+    from unast_tpu.text.phonemizer import lexicon_lookup, _word_re
     from unast_tpu.text.symbols import symbols
 
     rows = []
@@ -46,7 +46,7 @@ def phase_a(args):
         rows += load_manifest(os.path.join(REFERENCE_SPLITS_DIR, s + ".csv"))
     if args.limit:
         rows = rows[:args.limit]
-    n_words = lex_hits = 0
+    n_words = lex_hits = morph_hits = 0
     token_counts, star_words = [], 0
     uniq_oov = set()
     t0 = time.perf_counter()
@@ -54,9 +54,13 @@ def phase_a(args):
         cleaned = clean_text(text, ["english_cleaners"])
         for m in _word_re.finditer(cleaned):
             w = m.group(0).lower()
+            ws = w.strip("'")
             n_words += 1
-            if w in CORE_LEXICON or w in _runtime_lexicon:
+            if lexicon_lookup(w) or lexicon_lookup(ws):
                 lex_hits += 1
+            elif (morph.derive(w, lexicon_lookup)
+                  or morph.derive(ws, lexicon_lookup)):
+                morph_hits += 1
             else:
                 uniq_oov.add(w)
         ids = raw_text_to_phoneme_ids(text)
@@ -70,7 +74,9 @@ def phase_a(args):
         "transcripts_per_s": round(len(rows) / dt, 1),
         "words": n_words,
         "lexicon_hit_rate": round(lex_hits / n_words, 4),
-        "rule_fallback_rate": round(1 - lex_hits / n_words, 4),
+        "morph_derivation_rate": round(morph_hits / n_words, 4),
+        "rule_fallback_rate": round(
+            1 - (lex_hits + morph_hits) / n_words, 4),
         "unique_rule_fallback_words": len(uniq_oov),
         "fail_char_rate": round(star_words / max(1, int(tc.sum())), 6),
         "tokens_per_utt": {"mean": round(float(tc.mean()), 1),
@@ -118,6 +124,14 @@ def phase_b(args):
                                     dur_jitter=args.dur_jitter,
                                     return_durs=True)
             oracle_durs[fid] = durs.astype(np.int32)
+            if args.realism:
+                # real-recording front end: room-tone silence tails (the
+                # trim path becomes active), noise floor, breath onset
+                # (data/dataset.py::add_realism). Pair with --max_tokens
+                # <= ~110 at dur 0.08 so speech + lead silence stays
+                # under the 10 s cap.
+                from unast_tpu.data.dataset import add_realism
+                wav = add_realism(wav, rng, 22050)
             # LJSpeech clips are <= ~10.1 s; cap synthetic audio the same
             write_wav(path, wav[: int(10.0 * 22050)])
         if (i + 1) % 1000 == 0:
@@ -169,7 +183,8 @@ def phase_c(args):
         "--ae_steps", "4", "--cm_steps", "8", "--sp_steps", "4",
         "--d_steps", "4", "--train_batch_size", "16",
         "--cm_infer_mel_len", "816", "--cm_infer_text_len", "304",
-        "--sched_type", "transformer", "--compute_dtype", "bfloat16"])
+        "--sched_type", "transformer", "--compute_dtype", "bfloat16",
+        "--reduction_factor", str(args.rf)])
     # NOTE: threefry (reference-reproducible default). Passing --fast_prng
     # here would need train.config.apply_runtime_flags(targs) BEFORE any
     # PRNGKey creation to take effect.
@@ -241,7 +256,19 @@ if __name__ == "__main__":
                          "predictor matches the oracle grid exactly); "
                          "> 0 makes the duration task non-degenerate and "
                          "writes the oracle_durs.npz sidecar")
+    ap.add_argument("--realism", action="store_true",
+                    help="phase-b: silence tails + noise floor + breath "
+                         "onset on every clip (add_realism) -- exercises "
+                         "the silence-trim alignment end to end "
+                         "(VERDICT r3 item 6)")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--rf", type=int, default=1,
+                    help="phase-c model reduction_factor: r mel frames "
+                         "per speech-decoder step. r=4 measured ~2x on "
+                         "the full-cap greedy decode that dominates the "
+                         "cm micro-batches (BENCHMARKS 'reduction "
+                         "factor') -- the A/B lever for the epoch wall "
+                         "time (VERDICT r3 item 5)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     if args.phase in ("a", "all"):

@@ -38,7 +38,7 @@ def _time(fn, iters=3, warmup=1):
 
 def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
                                                            "dots_all"),
-                attn="xla"):
+                attn="xla", tmel=256, ttext=128):
     import jax
     if prng == "rbg":
         # Must precede every PRNGKey creation below; see
@@ -57,9 +57,11 @@ def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
     for bs in batches:
         for policy in policies:
             argv = WIDE + [
-                "--train_batch_size", str(bs), "--data_mel_len", "256",
-                "--data_text_len", "128", "--max_mel_len", "256",
-                "--max_text_len", "128", "--ae_steps", "0",
+                "--train_batch_size", str(bs),
+                "--data_mel_len", str(tmel),
+                "--data_text_len", str(ttext),
+                "--max_mel_len", str(tmel),
+                "--max_text_len", str(ttext), "--ae_steps", "0",
                 "--cm_steps", "0", "--sp_steps", "1", "--d_steps", "0",
                 "--use_discriminator", "false", "--remat", "true",
                 "--remat_policy", policy,
@@ -67,7 +69,7 @@ def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
                 "--compute_dtype", "bfloat16"]
             args = parse_with_config(argv)
             cfg = model_config_from_args(args)
-            label = f"bs{bs}/{policy or 'none-saveable'}/{prng}/{attn}"
+            label = f"bs{bs}/T{tmel}/{policy or 'none-saveable'}/{prng}/{attn}"
             try:
                 ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
                 bg = BatchGetter(args, ds, ds, ds)
@@ -87,7 +89,7 @@ def probe_steps(batches, iters, prng="threefry", policies=("", "dots",
                     step(ts, jax.random.PRNGKey(2), b)[1]["grad_norm"]),
                     iters=iters, warmup=1)
                 rows[label] = {"step_s": round(dt, 4),
-                               "frames_per_s": round(bs * 256 / dt, 1)}
+                               "frames_per_s": round(bs * tmel / dt, 1)}
                 if flops:
                     rows[label]["mfu"] = round(flops / dt / peak, 4)
                     rows[label]["tflops"] = round(flops / dt / 1e12, 1)
@@ -163,6 +165,11 @@ if __name__ == "__main__":
     ap.add_argument("--policies", default=",dots,dots_all",
                     help="comma-separated remat policies ('' allowed)")
     ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--tmel", type=int, default=256,
+                    help="mel frames per example (longer T raises "
+                         "arithmetic intensity of the bandwidth-bound "
+                         "ops -- the VERDICT r3 item 7 probe)")
+    ap.add_argument("--ttext", type=int, default=128)
     a = ap.parse_args()
     if not a.skip_attn:
         print("== attention at d=1024 training shape ==")
@@ -171,4 +178,4 @@ if __name__ == "__main__":
           f"({a.prng}, attn={a.attn}) ==")
     probe_steps([int(b) for b in a.batches.split(",")], a.iters,
                 prng=a.prng, policies=tuple(a.policies.split(",")),
-                attn=a.attn)
+                attn=a.attn, tmel=a.tmel, ttext=a.ttext)
