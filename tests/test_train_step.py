@@ -392,3 +392,62 @@ def test_adafactor_trains_and_state_is_factored():
             first = v
         last = v
     assert last < first, (first, last)
+
+
+@pytest.mark.parametrize("td", ["ctc", "spec"])
+def test_cm_text_decode_levers(td):
+    """--cm_text_decode {ctc,spec}: the back-translation pseudo-text from
+    the jointly-trained CTC head (one-pass draft / drafted speculative
+    decode) — the step must run, produce finite metrics, and update
+    params (VERDICT r3 item 5 decode lever)."""
+    argv = ["--config", "configs/transformer_test.json",
+            "--sched_type", "multistep", "--lr", "0.001",
+            "--ctc_weight", "0.5", "--cm_text_decode", td]
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    ds = SyntheticSpeechDataset(size=8, seed=0)
+    bg = BatchGetter(args, ds, ds, ds)
+    batches = jax.tree_util.tree_map(
+        jnp.asarray, bg.step_batches(args, use_discriminator=True))
+    step = jax.jit(make_train_step(cfg, args))
+    p0 = jax.tree_util.tree_leaves(ts.params)[0]
+    ts2, metrics = step(ts, jax.random.PRNGKey(1), batches)
+    for k in ("cm/t_cm", "cm/s_cm", "grad_norm"):
+        assert np.isfinite(float(metrics[k])), (td, k)
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(jax.tree_util.tree_leaves(ts2.params)[0]))
+
+
+def test_cm_spec_decode_equals_eval_greedy():
+    """'spec' inside cm must reproduce the eval-mode AR greedy transcript
+    exactly (the documented deviation is eval-Ctx determinism, not a
+    different decode)."""
+    from unast_tpu.models import ctc as CT
+    from unast_tpu.models import networks as N
+    from unast_tpu.models import unast as U
+    from unast_tpu import nn
+
+    argv = ["--config", "configs/transformer_test.json",
+            "--ctc_weight", "0.5"]
+    args = parse_with_config(argv)
+    cfg = model_config_from_args(args)
+    params, state = U.unast_init(jax.random.PRNGKey(3), cfg)
+    ds = SyntheticSpeechDataset(size=4, seed=0)
+    from unast_tpu.data.batching import BatchIterator
+    b = BatchIterator(ds, 4, args.data_text_len, args.data_mel_len,
+                      seed=5).next_batch()
+    mel = jnp.asarray(b["mel"])
+    mel_len = jnp.asarray(b["mel_len"])
+    ectx = nn.Ctx.eval()
+    (s_enc, s_mask), _ = N.speech_encode(
+        params["speech_m"], state["speech_m"], ectx, cfg, mel, mel_len)
+    (ar_ids, ar_lens), _ = N.text_infer(
+        params["text_m"], state["text_m"], ectx, cfg, s_enc, s_mask)
+    logits = nn.linear(params["speech_m"]["ctc_head"],
+                       s_enc).astype(jnp.float32)
+    draft, _ = CT.ctc_greedy_decode(logits, s_mask, cfg.max_text_len)
+    sp_ids, sp_lens, _ = N.text_tr_spec_infer(
+        params["text_m"], ectx, cfg, s_enc, s_mask, draft)
+    np.testing.assert_array_equal(np.asarray(ar_ids), np.asarray(sp_ids))
+    np.testing.assert_array_equal(np.asarray(ar_lens), np.asarray(sp_lens))

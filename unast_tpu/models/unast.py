@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from .config import ModelConfig
+from .config import ModelConfig, EOS_IDX
 from . import modules as M
 from . import networks as N
 from . import rnn as R
@@ -117,16 +117,68 @@ def cm_text_in(params, state, ctx, cfg: ModelConfig, text, text_len,
     return logits, new_state
 
 
+def _cm_ctc_draft(params, cfg: ModelConfig, s_enc, s_mask, max_len):
+    """One-pass CTC greedy transcript off the speech-encoder memory (the
+    jointly trained hybrid head, train/steps.py sp_loss_fn). Returns
+    (ids, lens) shaped like the AR decode's output, EOS appended."""
+    from . import ctc as CT
+    logits = nn.linear(params["speech_m"]["ctc_head"],
+                       s_enc).astype(jnp.float32)
+    ids, lens = CT.ctc_greedy_decode(logits, s_mask, max_len)
+    # AR pseudo-text carries EOS inside its stop span; mirror that so the
+    # downstream text_encode sees the same sequence convention.
+    b = ids.shape[0]
+    ids = ids.at[jnp.arange(b), jnp.minimum(lens, max_len - 1)].set(
+        jnp.where(lens < max_len, EOS_IDX, ids[jnp.arange(b),
+                                              max_len - 1]))
+    lens = jnp.minimum(lens + 1, max_len)
+    return ids, lens
+
+
 def cm_speech_in(params, state, ctx, cfg: ModelConfig, mel, mel_len,
-                 ret_enc_hid=False, infer_text_len: Optional[int] = None):
-    """Back-translation, speech side in (src/network.py:114-123)."""
+                 ret_enc_hid=False, infer_text_len: Optional[int] = None,
+                 text_decode: str = "ar"):
+    """Back-translation, speech side in (src/network.py:114-123).
+
+    text_decode selects how the no-grad pseudo-transcript is produced
+    (TPU-native decode levers over the reference's always-sequential
+    greedy loop, src/network.py:463-481):
+      'ar'   — reference behavior: KV-cached greedy AR decode.
+      'spec' — CTC-drafted speculative decode (networks.
+               text_tr_spec_infer): exactly the eval-mode greedy
+               transcript in ~(draft-errors+1) parallel passes.
+               Deliberate deviation: the pseudo-decode runs with an
+               eval Ctx (no dropout) — verification requires a
+               deterministic scorer.
+      'ctc'  — the CTC head's one-pass greedy output IS the pseudo-
+               text (no AR decode at all; cheapest).
+    'spec'/'ctc' require cfg.ctc_weight > 0 (the jointly-trained hybrid
+    head) and the transformer backbone."""
     sg = jax.lax.stop_gradient
     (s_enc, s_mask), _ = N.speech_encode(params["speech_m"],
                                          state["speech_m"], ctx, cfg,
                                          mel, mel_len)
-    (text_pred, text_pred_len), _ = N.text_infer(
-        params["text_m"], state["text_m"], ctx, cfg, s_enc, s_mask,
-        max_len=infer_text_len)
+    if text_decode != "ar":
+        if cfg.ctc_weight <= 0 or cfg.model_type != "transformer":
+            raise ValueError(
+                "cm text_decode 'spec'/'ctc' needs ctc_weight>0 and the "
+                "transformer backbone")
+        cap = infer_text_len or cfg.max_text_len
+        if text_decode == "ctc":
+            text_pred, text_pred_len = _cm_ctc_draft(
+                params, cfg, s_enc, s_mask, cap)
+        else:
+            from . import ctc as CT
+            logits = nn.linear(params["speech_m"]["ctc_head"],
+                               s_enc).astype(jnp.float32)
+            draft, _ = CT.ctc_greedy_decode(logits, s_mask, cap)
+            text_pred, text_pred_len, _ = N.text_tr_spec_infer(
+                params["text_m"], nn.Ctx.eval(), cfg, s_enc, s_mask,
+                draft, max_len=cap)
+    else:
+        (text_pred, text_pred_len), _ = N.text_infer(
+            params["text_m"], state["text_m"], ctx, cfg, s_enc, s_mask,
+            max_len=infer_text_len)
     text_pred, text_pred_len = sg(text_pred), sg(text_pred_len)
     (t_enc, t_mask), ts = N.text_encode(params["text_m"], state["text_m"],
                                         ctx, cfg, text_pred, text_pred_len)

@@ -223,6 +223,14 @@ def build_parser() -> argparse.ArgumentParser:
     add("--ctc_weight", type=float, default=0.0,
         help="hybrid CTC/attention: auxiliary CTC loss on the speech "
              "encoder in the supervised objective (0 = off)")
+    add("--cm_text_decode", type=str, default="ar",
+        choices=["ar", "spec", "ctc"],
+        help="pseudo-transcript decode inside the back-translation "
+             "objective: 'ar' = reference-parity sequential greedy; "
+             "'spec' = CTC-drafted speculative (exact eval-mode greedy "
+             "in ~errors+1 parallel passes); 'ctc' = the CTC head's "
+             "one-pass output directly (cheapest). spec/ctc need "
+             "--ctc_weight > 0 and the transformer backbone")
     add("--ctc_chunk", type=int, default=0,
         help="streaming CTC ASR: chunk-causal attention in the CTC "
              "model's speech encoder (frames per chunk; 0 = full "

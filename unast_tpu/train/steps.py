@@ -264,11 +264,15 @@ def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     ctx = _obj_ctx(rng, args, cfg)
     infer_mel = getattr(args, "cm_infer_mel_len", None) or cfg.max_mel_len
     infer_text = getattr(args, "cm_infer_text_len", None) or cfg.max_text_len
+    # decode lever for the in-graph pseudo-transcript (ar | spec | ctc);
+    # the reference always pays the sequential AR loop here
+    # (src/train.py:261-294 via src/network.py:463-481)
+    td = getattr(args, "cm_text_decode", "ar") or "ar"
     aux = {}
     if cfg.use_discriminator:
         (pre, post, stop, t_lat, t_l, _), st = U.cm_speech_in(
             params, net_state, ctx, cfg, mel, mel_len, ret_enc_hid=True,
-            infer_text_len=infer_text)
+            infer_text_len=infer_text, text_decode=td)
         (logits, s_lat, s_l, _), st = U.cm_text_in(
             params, st, ctx, cfg, text, text_len, ret_enc_hid=True,
             infer_mel_len=infer_mel)
@@ -278,7 +282,7 @@ def cm_loss_fn(params, net_state, rng, batch, cfg: ModelConfig, args, scale):
     else:
         (pre, post, stop), st = U.cm_speech_in(
             params, net_state, ctx, cfg, mel, mel_len,
-            infer_text_len=infer_text)
+            infer_text_len=infer_text, text_decode=td)
         logits, st = U.cm_text_in(params, st, ctx, cfg, text, text_len,
                                   infer_mel_len=infer_mel)
         d_loss = 0.0
