@@ -184,7 +184,9 @@ def phase_c(args):
         "--d_steps", "4", "--train_batch_size", "16",
         "--cm_infer_mel_len", "816", "--cm_infer_text_len", "304",
         "--sched_type", "transformer", "--compute_dtype", "bfloat16",
-        "--reduction_factor", str(args.rf)])
+        "--reduction_factor", str(args.rf),
+        "--ctc_weight", str(args.ctc_weight),
+        "--cm_text_decode", args.cm_text_decode])
     # NOTE: threefry (reference-reproducible default). Passing --fast_prng
     # here would need train.config.apply_runtime_flags(targs) BEFORE any
     # PRNGKey creation to take effect.
@@ -262,6 +264,13 @@ if __name__ == "__main__":
                          "the silence-trim alignment end to end "
                          "(VERDICT r3 item 6)")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--ctc_weight", type=float, default=0.0,
+                    help="phase-c: joint hybrid CTC head weight "
+                         "(required > 0 for --cm_text_decode ctc/spec)")
+    ap.add_argument("--cm_text_decode", default="ar",
+                    choices=["ar", "spec", "ctc"],
+                    help="phase-c: pseudo-transcript decode inside the "
+                         "cm objective (the text-side decode lever)")
     ap.add_argument("--rf", type=int, default=1,
                     help="phase-c model reduction_factor: r mel frames "
                          "per speech-decoder step. r=4 measured ~2x on "
