@@ -33,11 +33,16 @@ ap.add_argument("--eval_every", type=int, default=1000)
 ap.add_argument("--bs", type=int, default=32)
 ap.add_argument("--lr", type=float, default=3e-4)
 ap.add_argument("--dur_source", default="ctc",
-                choices=["ctc", "mas", "soft", "argmax"])
+                choices=["ctc", "mas", "soft", "argmax", "uniform"])
 ap.add_argument("--ctc_weight", type=float, default=0.5,
                 help="must match the teacher's training config (shapes "
                      "the checkpoint template)")
 ap.add_argument("--fast_prng", default="true")
+ap.add_argument("--compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
+ap.add_argument("--prenet_drop", type=float, default=0.1,
+                help="NAR text-prenet dropout (see the 0.5-collapse note below); 0 is right for deterministic synthetic corpora")
+ap.add_argument("--drop", type=float, default=0.1,
+                help="NAR encoder/decoder dropout")
 ap.add_argument("--small", action="store_true",
                 help="tiny dims/caps for a CPU plumbing smoke (pairs "
                      "with corpus_convergence.py --small)")
@@ -73,9 +78,18 @@ args = parse_with_config(SMALL + [
     "--data_mel_len", CAPS[0], "--data_text_len", CAPS[1],
     "--train_batch_size", str(A.bs),
     "--sched_type", "multistep", "--lr", str(A.lr),
-    "--optim_type", "adamw", "--compute_dtype", "bfloat16",
+    "--optim_type", "adamw", "--compute_dtype", A.compute_dtype,
     "--ctc_weight", str(A.ctc_weight),
-    "--nar_dur_source", A.dur_source, "--fast_prng", A.fast_prng])
+    "--nar_dur_source", A.dur_source, "--fast_prng", A.fast_prng,
+    # FastSpeech-style regularization: the reference TextPrenet's 0.5
+    # dropout is calibrated for the AR model (whose decoder also sees
+    # the teacher-forced mel prefix); in the NAR model the text prenet
+    # is the ONLY information source and 0.5 forces a conditional-mean
+    # (blurred) regression -- measured round 4: a 2-layer micro-model
+    # that cannot even memorize 4 utterances at 0.5 fits them 18x
+    # better at dropout ~0.1.
+    "--t_pre_drop", str(A.prenet_drop),
+    "--e_drop", str(A.drop), "--d_drop", str(A.drop)])
 apply_runtime_flags(args)
 cfg = model_config_from_args(args)
 

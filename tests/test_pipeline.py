@@ -449,7 +449,12 @@ def test_multihost_two_process_train():
     try:
         # generous: two JAX processes share this host's single core, so
         # the one compile takes ~8 min here (seconds on a real machine)
-        outs = [p.communicate(timeout=1100)[0] for p in procs]
+        # Wall budget: seconds on a real machine, ~8-10 min on the 1-core
+        # CI host when quiet — and the round-4 full-suite run measured
+        # 1103 s under concurrent chip-job load (the old 1100 s limit
+        # failed exactly there, twice). 2400 s keeps the hang-detector
+        # role without flaking on host contention.
+        outs = [p.communicate(timeout=2400)[0] for p in procs]
     finally:
         for p in procs:           # never leak workers, even on timeout
             if p.poll() is None:

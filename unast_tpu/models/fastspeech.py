@@ -401,7 +401,11 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
         h = h + emb * (~pad_mask)[..., None].astype(h.dtype)
 
     frames, out_lens = length_regulate(h, durations, max_len)
-    frames = M.positional_encoding(ctx, frames)
+    # scale=False: `frames` are regulated post-LN encoder states (per-dim
+    # RMS pinned ~1) — the reference-parity sqrt(d) input scaling
+    # saturates the frame decoder's attention and freezes training (the
+    # round-4 global-mean-mel collapse; see positional_encoding).
+    frames = M.positional_encoding(ctx, frames, scale=False)
     frame_pad = ~M.lens_to_mask(out_lens, max_len)
     d = T.encoder(p["decoder"], ctx, frames, frame_pad, cfg.nhead,
                   cfg.d_drop, impl=cfg.attn_impl,

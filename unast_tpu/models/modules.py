@@ -55,8 +55,18 @@ def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
     return pe
 
 
-def positional_encoding(ctx: nn.Ctx, x, dropout_p: float = 0.1, offset=0):
-    """x: [B, T, D]. `offset` supports incremental decode (position of x[0])."""
+def positional_encoding(ctx: nn.Ctx, x, dropout_p: float = 0.1, offset=0,
+                        scale: bool = True):
+    """x: [B, T, D]. `offset` supports incremental decode (position of x[0]).
+
+    scale=True multiplies x by sqrt(D) before adding the table (reference
+    parity, src/module.py:249-267) — correct when x is a LEARNABLE-scale
+    embedding/prenet output that can shrink itself. scale=False adds the
+    table to x unchanged — required when x is the output of a post-LN
+    stack (per-dim RMS pinned ~1 by the final LayerNorm): scaling such an
+    input by sqrt(D) saturates the next stack's attention logits and
+    freezes learning (measured round 4: the NAR frame decoder attenuated
+    input differences 25x and trained to the global-mean mel)."""
     d = x.shape[-1]
     pe = jnp.asarray(sinusoid_table(5000, d))
     t = x.shape[1]
@@ -64,7 +74,9 @@ def positional_encoding(ctx: nn.Ctx, x, dropout_p: float = 0.1, offset=0):
         pos = pe[:t]
     else:
         pos = jax.lax.dynamic_slice_in_dim(pe, offset, t, axis=0)
-    x = x * math.sqrt(d) + pos[None, :, :].astype(x.dtype)
+    if scale:
+        x = x * math.sqrt(d)
+    x = x + pos[None, :, :].astype(x.dtype)
     return nn.dropout(ctx, x, dropout_p)
 
 

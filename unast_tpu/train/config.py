@@ -252,7 +252,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="distill EXPECTED attention mass per token instead of "
              "argmax counts (smoother; generalizes better on noisy "
              "teacher alignments); alias for --nar_dur_source soft")
-    add("--nar_dur_source", choices=("argmax", "soft", "mas", "ctc"),
+    add("--nar_dur_source", choices=("argmax", "soft", "mas", "ctc", "uniform"),
         default=None,
         help="NAR duration distillation source: per-frame argmax counts "
              "(FastSpeech 1), expected attention mass (soft), "

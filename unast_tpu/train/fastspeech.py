@@ -66,7 +66,23 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
         mel_len = batch["mel_len"]
 
         # Teacher alignment (no dropout, running BN stats, no grads).
-        if source == "ctc":
+        if source == "uniform":
+            # Even split of the gold frame count over the tokens:
+            # dur_k = round((k+1)*M/N) - round(k*M/N). EXACT on the
+            # uniform-duration synthetic corpora (round 4 measured the
+            # ctc source's forced alignment time-warped there: a
+            # full-attention CTC encoder transcribes perfectly with NO
+            # frame-local alignment guarantee — mean |dur err| 9.0
+            # frames vs the known grid, scripts/nar_blur_probe.py);
+            # a defensible fallback prior on real speech.
+            n_tok = text.shape[1]
+            ratio = (mel_len.astype(jnp.float32)
+                     / jnp.maximum(text_len, 1).astype(jnp.float32))
+            k = jnp.arange(n_tok + 1, dtype=jnp.float32)[None, :]
+            bounds = jnp.round(k * ratio[:, None])
+            dur = (bounds[:, 1:] - bounds[:, :-1]).astype(jnp.int32)
+            dur = dur * lens_to_mask(text_len, n_tok).astype(jnp.int32)
+        elif source == "ctc":
             # CTC forced alignment off the teacher's hybrid CTC head
             # (requires a teacher trained with --ctc_weight > 0): frame
             # posteriors are grounded in the AUDIO->TEXT direction, so
