@@ -193,10 +193,8 @@ for i in range(A.steps):
               f"mean {mean_r:.3f}  sample {lens[:6]}")
 
 if A.save_path:
-    import pickle
-    with open(A.save_path, "wb") as f:
-        pickle.dump(jax.tree_util.tree_map(
-            np.asarray, (fs.params, fs.net_state)), f)
+    from unast_tpu.models.fastspeech import save_nar_pickle
+    save_nar_pickle(A.save_path, fs.params, fs.net_state)
     print(f"saved nar_pv -> {A.save_path}")
 
 mse, lens, med_r, mean_r = held_eval(fs, n_batches=4)

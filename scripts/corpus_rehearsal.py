@@ -106,7 +106,8 @@ def phase_b(args):
     rng = np.random.default_rng(0)
     from unast_tpu.data.dataset import synth_audio
     t0 = time.perf_counter()
-    kept, dropped, oracle_durs = [], 0, {}
+    cap = int(10.0 * 22050)  # LJSpeech clips are <= ~10.1 s
+    kept, dropped, cap_dropped, oracle_durs = [], 0, 0, {}
     for i, (fid, text) in enumerate(rows):
         path = os.path.join(wavs, fid + ".wav")
         ids = np.asarray(raw_text_to_phoneme_ids(text), np.int32)
@@ -116,28 +117,51 @@ def phase_b(args):
             # (truncated audio with full text corrupts ASR/TTS targets)
             dropped += 1
             continue
-        kept.append(f"{fid}|{text}|{text}")
         if not os.path.exists(path):  # resumable
             wav, durs = synth_audio(ids, 22050, rng,
                                     phoneme_dur_s=args.phoneme_dur,
                                     timbre=args.timbre,
                                     dur_jitter=args.dur_jitter,
                                     return_durs=True)
-            oracle_durs[fid] = durs.astype(np.int32)
+            durs = durs.astype(np.int32)
             if args.realism:
                 # real-recording front end: room-tone silence tails (the
                 # trim path becomes active), noise floor, breath onset
-                # (data/dataset.py::add_realism). Pair with --max_tokens
-                # <= ~110 at dur 0.08 so speech + lead silence stays
-                # under the 10 s cap.
+                # (data/dataset.py::add_realism).
+                from unast_tpu.audio.params import DEFAULT as AP
+                from unast_tpu.audio.ref_dsp import trim_silence
                 from unast_tpu.data.dataset import add_realism
-                wav = add_realism(wav, rng, 22050)
-            # LJSpeech clips are <= ~10.1 s; cap synthetic audio the same
-            write_wav(path, wav[: int(10.0 * 22050)])
+                wav, (lead_n, breath_n, _tail_n) = add_realism(
+                    wav, rng, 22050, return_offsets=True)
+                if len(wav) - _tail_n > cap:
+                    # lead silence + breath + speech would not fit: DROP
+                    # the clip (like the token filter) — truncating the
+                    # end of speech while metadata keeps the full
+                    # transcript corrupts ASR/TTS targets (ADVICE r4).
+                    cap_dropped += 1
+                    continue
+                wav = wav[:cap]  # truncates appended tail silence only
+                # Alignment oracle: the breath sits above the trim gate,
+                # so the mel frame origin is the trim start INSIDE the
+                # prepended span — token 0 absorbs the kept prefix
+                # (residual lead + breath). Compute the prefix with the
+                # same trim the mel cache applies (ADVICE r4: the
+                # sidecar was silently ~7-13 frames early on every
+                # --realism clip).
+                _, (s0, _) = trim_silence(wav, AP)
+                durs[0] += max(0, lead_n + breath_n - s0)
+            else:
+                wav = wav[:cap]
+            oracle_durs[fid] = durs
+            write_wav(path, wav)
+        kept.append(f"{fid}|{text}|{text}")
         if (i + 1) % 1000 == 0:
             print(f"[B] synth {i + 1}/{len(rows)}", file=sys.stderr)
     if dropped:
         print(f"[B] token filter (> {args.max_tokens}): dropped {dropped} "
+              f"of {len(rows)}")
+    if cap_dropped:
+        print(f"[B] 10 s cap (realism overhead): dropped {cap_dropped} "
               f"of {len(rows)}")
     with open(os.path.join(root, "metadata.csv"), "w") as f:
         f.write("\n".join(kept) + "\n")

@@ -87,8 +87,8 @@ print(f"{len(texts)} held-out transcripts "
 # ---- corpus-trained artifacts ----
 template = init_train_state(jax.random.PRNGKey(0), cfg, args)
 _, t_per, ts, _ = load_ckp(A.teacher, template)
-with open(A.nar, "rb") as f:
-    nar_pv = pickle.load(f)
+from unast_tpu.models.fastspeech import load_nar_pickle
+nar_pv = load_nar_pickle(A.nar)
 with open(A.vocoder, "rb") as f:
     voc_params = pickle.load(f)
 # the hybrid teacher's speech_m subtree IS the standalone CTC tree shape

@@ -89,8 +89,8 @@ tail_idx = list(range(n_items - A.heldout, n_items - A.heldout + A.n))
 
 template = init_train_state(jax.random.PRNGKey(0), cfg, args)
 _, t_per, ts, _ = load_ckp(A.teacher, template)
-with open(A.nar, "rb") as f:
-    nar_pv = pickle.load(f)
+from unast_tpu.models.fastspeech import load_nar_pickle
+nar_pv = load_nar_pickle(A.nar)
 with open(A.vocoder, "rb") as f:
     voc_params = pickle.load(f)
 ctc_pv = (ts.params["speech_m"], ts.net_state["speech_m"])

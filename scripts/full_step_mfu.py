@@ -126,8 +126,12 @@ def main():
             extra = mix["cm"] * (
                 decode_extra_flops(cfg, args.bs, n_sp_steps,
                                    T_mem=cfg.max_text_len, kind="speech")
+                # text decode cross-attends to the FULL speech-encoder
+                # memory (max_mel_len frames): the reduction factor
+                # shortens the speech DECODER's step count, not the
+                # encoder output length (ADVICE r4)
                 + decode_extra_flops(cfg, args.bs, cfg.max_text_len,
-                                     T_mem=n_sp_steps, kind="text"))
+                                     T_mem=cfg.max_mel_len, kind="text"))
         dt = _time(lambda: float(
             step(ts, jax.random.PRNGKey(2), b)[1]["grad_norm"]),
             iters=args.iters, warmup=1)

@@ -76,8 +76,8 @@ for j, it in enumerate(items):
 
 template = init_train_state(jax.random.PRNGKey(0), cfg, args)
 _, _, ts, _ = load_ckp(A.teacher, template)
-with open(A.nar, "rb") as f:
-    nar_params, nar_state = pickle.load(f)
+from unast_tpu.models.fastspeech import load_nar_pickle
+nar_params, nar_state = load_nar_pickle(A.nar)
 
 spp = A.phoneme_dur * P.sr          # samples per phoneme (exact grid)
 fpp = spp / P.hop_length            # frames per phoneme (non-integer)

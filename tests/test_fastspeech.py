@@ -508,3 +508,37 @@ def test_distill_step_ctc_source_trains():
                          batch)
             assert np.isfinite(float(m["nar/pre"])), m
             assert np.isfinite(float(m["nar/dur"])), m
+
+
+def test_nar_pickle_format_stamp(tmp_path):
+    """ADVICE r4: NAR serving pickles carry a format stamp — stale
+    formats (pre round-4 PE-scaling fix) fail loudly, unversioned tuples
+    load with a warning, current-format round-trips exactly."""
+    import pickle
+    import warnings
+
+    import pytest
+
+    from unast_tpu.models.fastspeech import (NAR_PICKLE_FORMAT,
+                                             load_nar_pickle,
+                                             save_nar_pickle)
+    p = {"w": np.arange(4, dtype=np.float32)}
+    s = {"bn": np.zeros(2, np.float32)}
+    f = str(tmp_path / "nar.pkl")
+    save_nar_pickle(f, p, s)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # current format: NO warning
+        lp, ls = load_nar_pickle(f)
+    np.testing.assert_array_equal(lp["w"], p["w"])
+    np.testing.assert_array_equal(ls["bn"], s["bn"])
+
+    with open(f, "wb") as fh:
+        pickle.dump({"nar_format": NAR_PICKLE_FORMAT - 1, "pv": (p, s)}, fh)
+    with pytest.raises(ValueError, match="format"):
+        load_nar_pickle(f)
+
+    with open(f, "wb") as fh:
+        pickle.dump((p, s), fh)
+    with pytest.warns(UserWarning, match="unversioned"):
+        lp, ls = load_nar_pickle(f)
+    np.testing.assert_array_equal(lp["w"], p["w"])

@@ -330,3 +330,38 @@ def test_realism_clip_trim_and_shard_alignment(tmp_path):
     ds = WavShardDataset(out)
     mel, _ = ref_dsp.wav_to_mel_mag(y)
     assert mel.shape[0] == 1 + len(ds[0]) // P.hop_length
+
+
+def test_realism_oracle_offset_contract():
+    """ADVICE r4 (medium): on --realism clips the trim keeps the breath,
+    shifting the mel frame origin. add_realism(return_offsets=True) +
+    the trim start must reconstruct that shift exactly, so
+    corpus_rehearsal's `durs[0] += lead+breath-s0` puts every phoneme
+    boundary at its true position in trimmed (mel-origin) coordinates."""
+    from unast_tpu.audio import ref_dsp
+    from unast_tpu.audio.params import DEFAULT as P
+    from unast_tpu.data.dataset import add_realism, synth_audio
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(4, 44, size=10).astype(np.int32)
+    speech, durs = synth_audio(ids, P.sr, rng, phoneme_dur_s=0.08,
+                               return_durs=True)
+    assert int(np.sum(durs)) == len(speech)
+    y, (lead_n, breath_n, tail_n) = add_realism(speech, rng, P.sr,
+                                                return_offsets=True)
+    assert lead_n + breath_n + len(speech) + tail_n == len(y)
+    _, (s0, e0) = ref_dsp.trim_silence(y, P)
+    # Trim start lands inside the prepended span (no speech trimmed) but
+    # keeps a nonzero prefix (the above-gate breath), i.e. the old
+    # unshifted sidecar really was early:
+    assert 0 < s0 <= lead_n + breath_n
+    off = max(0, lead_n + breath_n - s0)
+    assert off > 0
+    shifted = durs.astype(np.int64).copy()
+    shifted[0] += off
+    bounds = np.cumsum(shifted)
+    # Final boundary == true end of speech in trimmed coordinates; the
+    # trim end keeps all of it (noise floor above the gate to speech end)
+    speech_end_trimmed = lead_n + breath_n + len(speech) - s0
+    assert int(bounds[-1]) == speech_end_trimmed
+    assert e0 - s0 >= speech_end_trimmed - P.trim_hop_length

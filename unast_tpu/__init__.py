@@ -55,8 +55,21 @@ def _enable_compilation_cache():
         # Primary backend only: the image's sitecustomize sets
         # 'axon,cpu' (TPU preferred, cpu fallback) — that must keep the
         # cache; an explicit 'cpu'-first setting (tests, dryrun) must not.
-        if plats.split(",")[0].strip() == "cpu":
+        entries = [p.strip() for p in plats.split(",")]
+        if entries[0] == "cpu":
             return
+        if "cpu" in entries[1:]:
+            # Ambiguous fallback list ('axon,cpu'): if the primary
+            # backend fails to initialize, JAX silently falls back to
+            # XLA:CPU — where the persistent cache must stay off (the
+            # SIGILL/SIGSEGV class above). Resolve by initializing the
+            # backend now; every consumer of this platform list uses the
+            # device anyway, so the init is not wasted (ADVICE r4).
+            try:
+                if jax.default_backend() == "cpu":
+                    return
+            except Exception:
+                return
         cache_dir = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.expanduser("~/.cache/unast_tpu_xla"))

@@ -173,7 +173,7 @@ def synth_audio(ids: np.ndarray, sr: int, rng: np.random.Generator,
 
 def add_realism(wav: np.ndarray, rng: np.random.Generator, sr: int,
                 silence_s=(0.2, 0.7), noise_db: float = -45.0,
-                breath_db: float = -28.0) -> np.ndarray:
+                breath_db: float = -28.0, return_offsets: bool = False):
     """Make a synthetic clip look like a real recording to the front end
     (VERDICT r3 item 6): leading/trailing room-tone silence (so
     librosa-semantics trim, /root/reference/src/utils.py:249, actually
@@ -201,7 +201,15 @@ def add_realism(wav: np.ndarray, rng: np.random.Generator, sr: int,
     sil_amp = (10 ** (-75.0 / 20)) * peak
     lead = sil_amp * rng.standard_normal(int(rng.uniform(*silence_s) * sr))
     tail = sil_amp * rng.standard_normal(int(rng.uniform(*silence_s) * sr))
-    return np.concatenate([lead, breath, out, tail]).astype(np.float32)
+    full = np.concatenate([lead, breath, out, tail]).astype(np.float32)
+    if return_offsets:
+        # (lead, breath, tail) sample counts: the breath sits ABOVE the
+        # trim gate, so the mel path's silence-trim keeps it — any
+        # alignment oracle recorded against the bare speech must shift
+        # its frame origin by the kept prefix (ADVICE r4: oracle_durs
+        # misalignment on --realism corpora).
+        return full, (len(lead), nb, len(tail))
+    return full
 
 
 class SyntheticSpeechDataset:

@@ -417,3 +417,46 @@ def fastspeech_forward(p, s, ctx: nn.Ctx, cfg: ModelConfig, text, text_lens,
     keep = (~frame_pad)[..., None].astype(pre.dtype)
     return ((pre * keep, (pre + resid) * keep, out_lens, log_dur),
             {"prenet": prenet_s, "postnet": postnet_s})
+
+
+# ---------------------------------------------------------------------------
+# Serialized-artifact versioning (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+NAR_PICKLE_FORMAT = 2
+"""Format 2: the frame-decoder input uses positional_encoding(scale=False)
+(the round-4 saturation fix in fastspeech_forward above). Format-1
+(round-3) pickles were trained under sqrt(d) input scaling — loading one
+into this network silently produces wrong mels, so load_nar_pickle
+refuses a mismatched stamp; unversioned bare (params, net_state) tuples
+cannot prove their vintage and load with a warning."""
+
+
+def save_nar_pickle(path, params, net_state):
+    """Pickle (params, net_state) with the current format stamp."""
+    import pickle
+
+    import numpy as np
+    with open(path, "wb") as f:
+        pickle.dump({"nar_format": NAR_PICKLE_FORMAT,
+                     "pv": jax.tree_util.tree_map(np.asarray,
+                                                  (params, net_state))}, f)
+
+
+def load_nar_pickle(path):
+    """-> (params, net_state). Hard-errors on a stale format stamp; warns
+    on unversioned pre-stamp tuples (vintage unverifiable)."""
+    import pickle
+    import warnings
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    if isinstance(obj, dict) and "nar_format" in obj:
+        if obj["nar_format"] != NAR_PICKLE_FORMAT:
+            raise ValueError(
+                f"{path}: NAR pickle format {obj['nar_format']} != "
+                f"{NAR_PICKLE_FORMAT} — re-distill (format 2 changed the "
+                f"frame-decoder PE scaling; old weights are incompatible)")
+        return tuple(obj["pv"])
+    warnings.warn(f"{path}: unversioned NAR pickle (pre-format-stamp); "
+                  f"cannot verify frame-decoder PE vintage", stacklevel=2)
+    return tuple(obj)
