@@ -33,7 +33,14 @@ ap.add_argument("--eval_every", type=int, default=1000)
 ap.add_argument("--bs", type=int, default=32)
 ap.add_argument("--lr", type=float, default=3e-4)
 ap.add_argument("--dur_source", default="ctc",
-                choices=["ctc", "mas", "soft", "argmax", "uniform"])
+                choices=["ctc", "mas", "soft", "argmax", "uniform",
+                         "oracle"],
+                help="'oracle' reads per-token SAMPLE durations from "
+                     "--oracle_durs (e.g. the trim-offset-corrected "
+                     "sidecar from scripts/fix_noisy_oracle.py), converts "
+                     "to frames on the cumulative grid, and rides them in "
+                     "with each batch — required on --realism corpora "
+                     "where the uniform split is no longer exact")
 ap.add_argument("--ctc_weight", type=float, default=0.5,
                 help="must match the teacher's training config (shapes "
                      "the checkpoint template)")
@@ -80,7 +87,11 @@ args = parse_with_config(SMALL + [
     "--sched_type", "multistep", "--lr", str(A.lr),
     "--optim_type", "adamw", "--compute_dtype", A.compute_dtype,
     "--ctc_weight", str(A.ctc_weight),
-    "--nar_dur_source", A.dur_source, "--fast_prng", A.fast_prng,
+    # 'oracle' is handled here (durations ride in with the batch; the
+    # in-step source is never consulted) — pass a valid config value
+    "--nar_dur_source",
+    ("uniform" if A.dur_source == "oracle" else A.dur_source),
+    "--fast_prng", A.fast_prng,
     # FastSpeech-style regularization: the reference TextPrenet's 0.5
     # dropout is calibrated for the AR model (whose decoder also sees
     # the teacher-forced mel prefix); in the NAR model the text prenet
@@ -100,15 +111,55 @@ held_ds = SubsetShard(full, np.arange(n - A.heldout, n))
 print(f"shard: {n} items -> distill on {len(train_ds)}, "
       f"held-out {len(held_ds)}; durations: {A.dur_source}")
 
+oracle_frames = None
+if A.dur_source == "oracle":
+    assert A.oracle_durs, "--dur_source oracle requires --oracle_durs"
+    _meta = os.path.join(os.path.dirname(A.shard), "metadata.csv")
+    _fids = [ln.split("|")[0] for ln in open(_meta, encoding="utf-8")
+             if ln.strip()]
+    assert len(_fids) == n, (len(_fids), n)
+    _dz = np.load(A.oracle_durs)
+    _hop = 275.0  # AudioParams hop (derived, audio/params.py)
+    oracle_frames = []
+    for _i in range(n):
+        _d = _dz[_fids[_i]].astype(np.int64)
+        _fb = np.round(np.cumsum(_d) / _hop).astype(np.int32)
+        oracle_frames.append(np.diff(np.concatenate([[0], _fb]))
+                             .astype(np.int32))
+    print(f"oracle frame durations loaded for {n} rows "
+          f"(mean total {np.mean([f.sum() for f in oracle_frames]):.0f} "
+          f"frames)")
+
 t_template = init_train_state(jax.random.PRNGKey(0), cfg, args)
 _, t_per, t_ts, _ = load_ckp(A.teacher, t_template)
 print(f"teacher: {A.teacher} (held-out PER at save time: {t_per})")
 
 fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
 step = jax.jit(make_distill_step(cfg, cfg, args), donate_argnums=(0,))
-it = BatchIterator(train_ds, A.bs, int(CAPS[1]), int(CAPS[0]),
-                   seed=args.seed + 1)
-keys = ("text", "text_len", "mel", "mel_len")
+class OracleBatchIterator(BatchIterator):
+    """BatchIterator that also packs the per-row oracle FRAME durations
+    (train subset indices == global rows [0, n-heldout))."""
+
+    def next_batch(self):
+        idx = self._next_indices()
+        b = dict(self.ds.collate_batch(idx, self.text_len, self.mel_len))
+        durs = np.zeros((len(idx), self.text_len), np.int32)
+        for j, si in enumerate(idx):
+            fr = oracle_frames[int(train_ds.idx[int(si)])]
+            L = min(self.text_len, len(fr))
+            durs[j, :L] = fr[:L]
+        b["durs"] = durs
+        return b
+
+
+if A.dur_source == "oracle":
+    it = OracleBatchIterator(train_ds, A.bs, int(CAPS[1]), int(CAPS[0]),
+                             seed=args.seed + 1)
+    keys = ("text", "text_len", "mel", "mel_len", "durs")
+else:
+    it = BatchIterator(train_ds, A.bs, int(CAPS[1]), int(CAPS[0]),
+                       seed=args.seed + 1)
+    keys = ("text", "text_len", "mel", "mel_len")
 rng = jax.random.PRNGKey(2)
 
 

@@ -54,6 +54,12 @@ ap.add_argument("--gta_mix", type=float, default=0.5,
 ap.add_argument("--eval_n", type=int, default=16)
 ap.add_argument("--log_every", type=int, default=400)
 ap.add_argument("--save_path", default="/root/rehearsal/vocoder_gta.pkl")
+ap.add_argument("--oracle_durs", default="",
+                help="trim-offset-corrected oracle sidecar "
+                     "(scripts/fix_noisy_oracle.py) — REQUIRED on "
+                     "--realism corpora, where the uniform grid is no "
+                     "longer the true alignment (the trim keeps a "
+                     "~13-19-frame breath/lead prefix on token 0)")
 A = ap.parse_args()
 
 from unast_tpu.train.config import (apply_runtime_flags,
@@ -97,36 +103,51 @@ eval_idx = list(range(n_items - A.heldout,
                       n_items - A.heldout + A.eval_n))
 
 
+oracle_frames = None
+if A.oracle_durs:
+    _fids = [r[0] for r in meta_rows]
+    _dz = np.load(A.oracle_durs)
+    oracle_frames = []
+    for fid in _fids:
+        _d = _dz[fid].astype(np.int64)
+        _fb = np.round(np.cumsum(_d) / float(P.hop_length)).astype(np.int32)
+        oracle_frames.append(np.diff(np.concatenate([[0], _fb]))
+                             .astype(np.int32))
+
+
 @jax.jit
-def gta_mels(params, state, text, tlen, mlen):
-    """NAR forward under the exact uniform teacher grid -> post mel
-    aligned frame-for-frame with the gold mel/wav (train/fastspeech.py
-    'uniform' source: dur_k = round((k+1)M/N) - round(kM/N))."""
-    n_tok = text.shape[1]
-    ratio = (mlen.astype(jnp.float32)
-             / jnp.maximum(tlen, 1).astype(jnp.float32))
-    k = jnp.arange(n_tok + 1, dtype=jnp.float32)[None, :]
-    bounds = jnp.round(k * ratio[:, None])
-    dur = (bounds[:, 1:] - bounds[:, :-1]).astype(jnp.int32)
-    from unast_tpu.models.modules import lens_to_mask
-    dur = dur * lens_to_mask(tlen, n_tok).astype(jnp.int32)
+def gta_mels(params, state, text, tlen, durs):
+    """NAR forward under teacher durations -> post mel aligned
+    frame-for-frame with the gold mel/wav (GTA synthesis)."""
     (pre, post, out_lens, _), _ = F.fastspeech_forward(
         params, state, nn.Ctx.eval(), cfg, text, tlen,
-        durations=dur, max_len=TM)
+        durations=durs, max_len=TM)
     return post.astype(jnp.float32), out_lens
 
 
 def pack_texts(idx):
+    """-> (text [B,TT], tlen, mlen, durs [B,TT] frames). Teacher
+    durations: the corrected oracle sidecar when given (realism
+    corpora), else the exact uniform grid (train/fastspeech.py:69-77)."""
     txt = np.zeros((len(idx), TT), np.int32)
     tlen = np.zeros((len(idx),), np.int32)
     mlen = np.zeros((len(idx),), np.int32)
+    durs = np.zeros((len(idx), TT), np.int32)
     for j, i in enumerate(idx):
         ids = np.asarray(raw_text_to_phoneme_ids(meta_rows[i][1]), np.int32)
         L = min(TT, len(ids))
         txt[j, :L] = ids[:L]
         tlen[j] = L
         mlen[j] = min(TM, full[int(i)]["mel"].shape[0])
-    return txt, tlen, mlen
+        if oracle_frames is not None:
+            fr = oracle_frames[int(i)]
+            Lf = min(L, len(fr))
+            durs[j, :Lf] = fr[:Lf]
+        else:
+            bounds = np.round(np.arange(L + 1) * mlen[j]
+                              / max(1, L)).astype(np.int64)
+            durs[j, :L] = np.diff(bounds).astype(np.int32)
+    return txt, tlen, mlen, durs
 
 
 class GtaItems:
@@ -169,12 +190,13 @@ gta_train = []
 B = 32
 for c0 in range(0, len(train_idx), B):
     chunk = train_idx[c0:c0 + B]
-    txt, tlen, mlen = pack_texts(chunk)
+    txt, tlen, mlen, durs = pack_texts(chunk)
     post, _ = gta_mels(nar_params, nar_state, jnp.asarray(txt),
-                       jnp.asarray(tlen), jnp.asarray(mlen))
+                       jnp.asarray(tlen), jnp.asarray(durs))
     post = np.asarray(post)
     for j, i in enumerate(chunk):
-        gta_train.append(post[j, :mlen[j]].astype(np.float16))
+        t = min(mlen[j], int(durs[j].sum()))
+        gta_train.append(post[j, :t].astype(np.float16))
 print(f"rendered {len(gta_train)} GTA train mels in "
       f"{time.perf_counter() - t0:.0f}s", flush=True)
 
@@ -222,9 +244,9 @@ print(f"saved GTA-tuned vocoder -> {A.save_path}")
 # ---- held-out scoring: gold-mel and GTA-mel inputs, warm vs tuned ----
 FR = 96
 voc = jax.jit(lambda p, m: G.generator_forward(p, m))
-txt, tlen, mlen = pack_texts(eval_idx)
+txt, tlen, mlen, durs_ev = pack_texts(eval_idx)
 post, _ = gta_mels(nar_params, nar_state, jnp.asarray(txt),
-                   jnp.asarray(tlen), jnp.asarray(mlen))
+                   jnp.asarray(tlen), jnp.asarray(durs_ev))
 post = np.asarray(post)
 
 scores = {}

@@ -542,3 +542,52 @@ def test_nar_pickle_format_stamp(tmp_path):
     with pytest.warns(UserWarning, match="unversioned"):
         lp, ls = load_nar_pickle(f)
     np.testing.assert_array_equal(lp["w"], p["w"])
+
+
+def test_distill_step_with_batch_durations():
+    """Precomputed frame durations riding in with the batch ('durs' key —
+    the trim-offset-corrected oracle sidecar path on --realism corpora,
+    scripts/fix_noisy_oracle.py) are used verbatim: step runs, losses
+    finite, and the duration-predictor target follows the provided durs
+    (different durs -> different nar/dur loss)."""
+    import __graft_entry__ as g
+    from unast_tpu.data.batching import BatchIterator
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    from unast_tpu.train.fastspeech import init_fs_state, make_distill_step
+    from unast_tpu.train.steps import init_train_state
+
+    args, cfg = g._tiny_cfg_args()
+    args.sched_type, args.lr = "multistep", 1e-3
+    teacher = init_train_state(jax.random.PRNGKey(0), cfg, args)
+    fs = init_fs_state(jax.random.PRNGKey(1), cfg, args)
+    ds = SyntheticSpeechDataset(size=4, seed=0)
+    it = BatchIterator(ds, 2, args.data_text_len, args.data_mel_len, seed=3)
+    raw = it.next_batch()
+    base = {k: jnp.asarray(raw[k])
+            for k in ("text", "text_len", "mel", "mel_len")}
+
+    def uniform_durs(shift0):
+        tl = np.asarray(raw["text_len"])
+        ml = np.asarray(raw["mel_len"])
+        tt = raw["text"].shape[1]
+        durs = np.zeros((len(tl), tt), np.int32)
+        for i in range(len(tl)):
+            bounds = np.round(np.arange(tt + 1) * ml[i]
+                              / max(1, tl[i])).astype(np.int64)
+            d = np.diff(bounds).astype(np.int32)
+            d[tl[i]:] = 0
+            d[0] += shift0  # emulate a kept-prefix offset
+            if tl[i] > 1:
+                d[1] = max(0, d[1] - shift0)
+            durs[i] = d
+        return durs
+
+    step = jax.jit(make_distill_step(cfg, cfg, args))
+    m_by_shift = []
+    for shift in (0, 3):
+        batch = dict(base, durs=jnp.asarray(uniform_durs(shift)))
+        fs2, m = step(fs, teacher.params, teacher.net_state,
+                      jax.random.PRNGKey(2), batch)
+        assert all(np.isfinite(float(v)) for v in m.values()), m
+        m_by_shift.append(float(m["nar/dur"]))
+    assert m_by_shift[0] != m_by_shift[1], m_by_shift

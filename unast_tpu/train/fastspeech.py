@@ -66,7 +66,14 @@ def make_distill_step(cfg: ModelConfig, teacher_cfg: ModelConfig, args):
         mel_len = batch["mel_len"]
 
         # Teacher alignment (no dropout, running BN stats, no grads).
-        if source == "uniform":
+        if "durs" in batch:
+            # Precomputed per-token FRAME durations rode in with the
+            # batch (e.g. the trim-offset-corrected oracle sidecar on a
+            # --realism corpus, scripts/fix_noisy_oracle.py — the
+            # uniform split is NOT exact there: the trim keeps a
+            # ~13-19-frame breath/lead prefix that belongs to token 0).
+            dur = batch["durs"].astype(jnp.int32)
+        elif source == "uniform":
             # Even split of the gold frame count over the tokens:
             # dur_k = round((k+1)*M/N) - round(k*M/N). EXACT on the
             # uniform-duration synthetic corpora (round 4 measured the
