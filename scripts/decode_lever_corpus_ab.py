@@ -50,6 +50,9 @@ ap.add_argument("--eval_batches", type=int, default=2)
 ap.add_argument("--branch", default="both", choices=["both", "a", "b"])
 ap.add_argument("--b_decode", default="ctc", choices=["ctc", "spec"],
                 help="branch B's cm text decode (spec = the fallback)")
+ap.add_argument("--small", action="store_true",
+                help="tiny dims/caps + synthetic corpus: CPU plumbing "
+                     "smoke (no shard needed)")
 A = ap.parse_args()
 
 from unast_tpu.train.config import (apply_runtime_flags,
@@ -62,19 +65,32 @@ from unast_tpu.infer.metrics import compute_per
 from unast_tpu.models import unast as U
 from unast_tpu import nn
 
-full = PackedShardDataset(A.shard)
-n = len(full)
-train_ds = SubsetShard(full, np.arange(0, n - A.heldout))
-held_ds = SubsetShard(full, np.arange(n - A.heldout, n))
-print(f"shard: {n} items -> train {len(train_ds)}, held {len(held_ds)}")
+if A.small:
+    from unast_tpu.data.dataset import SyntheticSpeechDataset
+    train_ds = SyntheticSpeechDataset(size=16, seed=0, phoneme_dur_s=0.04)
+    held_ds = SyntheticSpeechDataset(size=8, seed=1, phoneme_dur_s=0.04)
+else:
+    full = PackedShardDataset(A.shard)
+    n = len(full)
+    train_ds = SubsetShard(full, np.arange(0, n - A.heldout))
+    held_ds = SubsetShard(full, np.arange(n - A.heldout, n))
+    print(f"shard: {n} items -> train {len(train_ds)}, "
+          f"held {len(held_ds)}")
+
+CAPS = ("112", "32") if A.small else ("816", "304")
+ICAPS = ("16", "8") if A.small else ("816", "304")
+SMALL = ["--hidden", "64", "--e_in", "64", "--t_emb_dim", "64",
+         "--s_pre_hid", "64", "--ffn_dim", "128", "--num_layers", "2",
+         "--nhead", "2", "--disc_hid", "16",
+         "--disc_num_layers", "1"] if A.small else []
 
 
 def branch_args(rf, cm_decode):
-    a = parse_with_config([
+    a = parse_with_config(SMALL + [
         "--use_discriminator", "true",
-        "--max_mel_len", "816", "--max_text_len", "304",
-        "--data_mel_len", "816", "--data_text_len", "304",
-        "--cm_infer_mel_len", "816", "--cm_infer_text_len", "304",
+        "--max_mel_len", CAPS[0], "--max_text_len", CAPS[1],
+        "--data_mel_len", CAPS[0], "--data_text_len", CAPS[1],
+        "--cm_infer_mel_len", ICAPS[0], "--cm_infer_text_len", ICAPS[1],
         "--ae_steps", "4", "--cm_steps", "8", "--sp_steps", "4",
         "--d_steps", "4", "--train_batch_size", str(A.bs),
         "--sched_type", "multistep", "--lr", str(A.lr),
