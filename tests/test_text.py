@@ -149,20 +149,25 @@ class TestMorphDerivation:
         # plural voicing: voiceless+s, voiced+z, sibilant+ɪz
         assert word_to_ipa("quotes") == "kwoʊts"
         assert word_to_ipa("rifles") == "ˈraɪfəlz"
-        assert word_to_ipa("churches") == "ʧərʧəz"
+        # round-5 stress discipline: a derived form that becomes
+        # polysyllabic is stress-marked on its base syllable (CMU:
+        # CHURCHES CH ER1 CH AH0 Z).
+        assert word_to_ipa("churches") == "ˈʧərʧəz"
         # -ed voicing: t/d+ɪd, voiceless+t, voiced+d
         assert word_to_ipa("visited") == "ˈvɪzətəd"
         assert word_to_ipa("walked") == "wɔkt"
         assert word_to_ipa("charged") == "ʧɑrʤd"
         # spelling adjustments: -ies->y, silent-e restore, doubling
         assert word_to_ipa("cities") == "ˈsɪtiz"
-        assert word_to_ipa("making") == "meɪkɪŋ"
+        assert word_to_ipa("making") == "ˈmeɪkɪŋ"  # CMU M EY1 K IH0 NG
         assert word_to_ipa("stopped") == "stɑpt"
 
     def test_stacked_and_prefixed(self):
         from unast_tpu.text.phonemizer import word_to_ipa
         assert word_to_ipa("buildings") == "ˈbɪldɪŋz"   # build+ing+s
-        assert word_to_ipa("unknown") == "ənnoʊn"
+        # stress-neutral prefix puts primary on the base (CMU: UNKNOWN
+        # AH0 N N OW1 N), geminate n+n kept across the prefix boundary.
+        assert word_to_ipa("unknown") == "ənˈnoʊn"
         assert word_to_ipa("reportedly") == "rɪˈpɔrtədli"
 
     def test_exact_lexicon_wins_over_morph(self):

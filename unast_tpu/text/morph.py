@@ -13,6 +13,18 @@ base entries and the suffix strings do.
 Only applied when the exact word misses the lexicon — irregular forms
 (said/been/children/...) live in the lexicon directly and are never routed
 here.
+
+Stress discipline (round-5 fidelity audit): the lexicon marks primary
+stress on every polysyllabic entry, so derived forms follow the same
+contract — suffixation never moves stress in the regular paradigms
+handled here, meaning an unmarked monosyllabic base that becomes
+polysyllabic is stressed on the base syllable (word-initial: aim ->
+ˈeɪmɪŋ), and the stress-neutral prefixes below put primary on the base
+(unknown -> ənˈnoʊn). l+l degeminates at the -ly
+boundary (careful + ly -> ˈkɛrfəli) while other boundaries keep
+geminates (drunkenness, unnamed), matching CMU's inflected entries. Known heuristic
+limit, documented: noun compounds in out- are often stress-initial in
+CMU (ˈaʊtfɪt) but get aʊtˈfɪt here.
 """
 
 from typing import Callable, Optional
@@ -22,6 +34,8 @@ from typing import Callable, Optional
 # in ɪ/ʊ (vowels, voiced) which the rules below classify correctly.
 _SIBILANT = set("szʃʒʧʤ")
 _VOICELESS = set("ptkfθsʃʧ")  # voiceless obstruents (for -ed / -s voicing)
+_VOWELS = set("aeiouæɑɔəɛɪʊ")
+_DIPHTHONGS = ("aɪ", "aʊ", "eɪ", "oʊ", "ɔɪ")
 
 
 def _last_phone(ipa: str) -> str:
@@ -32,11 +46,41 @@ def _last_phone(ipa: str) -> str:
     return ""
 
 
+def _nuclei(ipa: str) -> int:
+    """Vowel-nucleus count: greedy diphthong-first scan (same convention
+    as the lexicon fidelity audit, scripts/g2p_lexicon_report.py)."""
+    n = i = 0
+    while i < len(ipa):
+        if ipa[i] in _VOWELS:
+            i += 2 if ipa[i:i + 2] in _DIPHTHONGS else 1
+            n += 1
+        else:
+            i += 1
+    return n
+
+
+def _mark(ipa: str) -> str:
+    """Ensure a polysyllabic derived form carries a primary stress mark
+    (on the base = word-initial syllable for suffixations)."""
+    if "ˈ" in ipa or _nuclei(ipa) < 2:
+        return ipa
+    return "ˈ" + ipa
+
+
+def _join(ipa: str, s: str) -> str:
+    """Suffix join with -ly boundary degemination (careful+ly ->
+    ˈkɛrfəli), as in CMU's inflected entries; other suffixes keep the
+    geminate (drunken+ness -> ˈdrəŋkənnəs, soul+less -> ˈsoʊlləs)."""
+    if s == "li" and ipa and _last_phone(ipa) == "l":
+        return ipa + s[1:]
+    return ipa + s
+
+
 def plural_s(ipa: str) -> str:
     """-s / -es / -'s: [s z ʃ ʒ ʧ ʤ]+əz, voiceless+s, else +z."""
     last = _last_phone(ipa)
     if last in _SIBILANT:
-        return ipa + "əz"
+        return _mark(ipa + "əz")
     if last in _VOICELESS:
         return ipa + "s"
     return ipa + "z"
@@ -46,18 +90,22 @@ def past_ed(ipa: str) -> str:
     """-ed: [t d]+əd, voiceless+t, else +d."""
     last = _last_phone(ipa)
     if last in ("t", "d"):
-        return ipa + "əd"
+        return _mark(ipa + "əd")
     if last in _VOICELESS:
         return ipa + "t"
     return ipa + "d"
 
 
 def _suffix(s: str) -> Callable[[str], str]:
-    return lambda ipa: ipa + s
+    return lambda ipa: _mark(_join(ipa, s))
 
 
 def _prefix(s: str) -> Callable[[str], str]:
-    return lambda ipa: s + ipa
+    def f(ipa: str) -> str:
+        if "ˈ" not in s and "ˈ" not in ipa:
+            return s + "ˈ" + ipa    # stress-neutral prefix: primary on base
+        return s + ipa
+    return f
 
 
 # (spelling predicate args, base-spelling candidates, ipa transform)
@@ -69,7 +117,9 @@ def _candidates(w: str):
     if w.endswith("'s") and n > 3:
         yield w[:-2], plural_s
     if w.endswith("s'") and n > 3:
-        yield w[:-1], plural_s
+        # plural possessive: orthographic s' adds no phoneme (briggs'
+        # = brɪgz), unlike 's which runs the plural/possessive rule.
+        yield w[:-1], lambda ipa: ipa
     if w.endswith("ies") and n > 4:
         yield w[:-3] + "y", plural_s
     if w.endswith("es") and n > 3:

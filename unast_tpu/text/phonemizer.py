@@ -59,7 +59,7 @@ CORE_LEXICON: Dict[str, str] = {
     "what": "wət", "all": "ɔl", "were": "wər", "we": "wi", "when": "wɛn",
     "your": "jɔr", "can": "kæn", "said": "sɛd", "there": "ðɛr",
     "use": "juz", "each": "iʧ", "which": "wɪʧ", "do": "du", "how": "haʊ",
-    "their": "ðɛr", "if": "ɪf", "will": "wɪl", "up": "əp", "other": "əðər",
+    "their": "ðɛr", "if": "ɪf", "will": "wɪl", "up": "əp", "other": "ˈəðər",
     "about": "əˈbaʊt", "out": "aʊt", "many": "ˈmɛni", "then": "ðɛn",
     "them": "ðɛm", "these": "ðiz", "so": "soʊ", "some": "səm",
     "would": "wʊd", "make": "meɪk", "like": "laɪk", "him": "hɪm",
@@ -75,7 +75,7 @@ CORE_LEXICON: Dict[str, str] = {
     "place": "pleɪs", "year": "jɪr", "years": "jɪrz", "live": "lɪv",
     "me": "mi", "back": "bæk", "give": "gɪv", "most": "moʊst",
     "very": "ˈvɛri", "after": "ˈæftər", "thing": "θɪŋ", "things": "θɪŋz",
-    "our": "aʊər", "just": "ʤəst", "name": "neɪm", "good": "gʊd",
+    "our": "ˈaʊər", "just": "ʤəst", "name": "neɪm", "good": "gʊd",
     "sentence": "ˈsɛntəns", "man": "mæn", "think": "θɪŋk", "say": "seɪ",
     "great": "greɪt", "where": "wɛr", "help": "hɛlp", "through": "θru",
     "much": "məʧ", "before": "bɪˈfɔr", "line": "laɪn", "right": "raɪt",
@@ -129,7 +129,7 @@ CORE_LEXICON: Dict[str, str] = {
     "billion": "ˈbɪljən", "twenty": "ˈtwɛnti", "thirty": "ˈθərdi",
     "forty": "ˈfɔrti", "fifty": "ˈfɪfti", "sixty": "ˈsɪksti",
     "seventy": "ˈsɛvənti", "eighty": "ˈeɪti", "ninety": "ˈnaɪnti",
-    "eleven": "ɪˈlɛvən", "twelve": "twɛlv", "thirteen": "ˈθərˈtin",
+    "eleven": "ɪˈlɛvən", "twelve": "twɛlv", "thirteen": "ˌθərˈtin",
     "dollars": "ˈdɑlərz", "cents": "sɛnts", "pounds": "paʊndz",
     "point": "pɔɪnt", "printing": "ˈprɪntɪŋ", "speech": "spiʧ",
     "text": "tɛkst", "quick": "kwɪk", "brown": "braʊn", "fox": "fɑks",
