@@ -217,3 +217,24 @@ class TestMorphDerivation:
                     or M.derive(ws, PH.lexicon_lookup)):
                 hit += c
         assert hit / total >= 0.95, hit / total
+
+
+class TestLexiconFidelityAudit:
+    """Pronunciation-fidelity invariants (round-5 audit, VERDICT r4
+    item 6): the offline stand-in for the CMU-backed validation the
+    reference inherits via eng_to_ipa (src/data/__init__.py:18-32)."""
+
+    def test_audit_invariants_hold(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "scripts"))
+        from g2p_lexicon_report import audit_lexicon
+        stats = audit_lexicon()
+        assert stats["zero_nuclei"] == 0
+        assert stats["polysyll_stress_missing"] == 0
+        assert stats["multi_stress"] == 0
+        # The remaining morph-vs-direct disagreements are the documented
+        # genuinely-irregular set (city != cite+y, clothes != cloth+s);
+        # a jump past this bound means an engine or entry regression.
+        assert stats["morph_mismatch"] <= 60, stats["morph_mismatch"]
